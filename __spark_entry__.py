@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship qrank query at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — matching DuckDB ANSI SQL per query key.
 """
 
 from __future__ import annotations
@@ -13,26 +11,41 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wikidata_qrank_spark import oracles
+from wikidata_qrank_spark.plans.pipeline import build_graph
+
+_PIPELINE_KEYS = (
+    "spans",
+    "dictionary",
+    "canonical_dictionary",
+    "text_mentions",
+    "media_mentions",
+    "qviews",
+    "qrank",
+    "triples",
+    "item_signals",
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full KG build at sf0.001, return the qrank table."""
+    return build_graph(spark, "/root/testdata/sf0.001")["qrank"]
+
+
+def _pipeline_query(key: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_graph(spark, sf_dir)[key]
+
+    run.__name__ = f"kg_{key}"
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for key in _PIPELINE_KEYS:
+        out[f"kg_{key}"] = _pipeline_query(key)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {k: v for k, v in oracles.ORACLES.items() if k in queries()}

@@ -1,0 +1,54 @@
+"""End-to-end KG-construction pipeline.
+
+Mirrors the reference's Build() stage graph (cmd/qrank-builder/build.go:
+20-56) re-expressed as one lazy DataFrame DAG:
+
+    documents ──► spans ──► text/media mentions (broadcast dict join)
+                              │ (dictionary canonicalized once via
+                              │  iterative redirect resolution)
+                              ├─► qviews (salted sum) ─► qrank (2-phase rank)
+                              ├─► triples (lead-window edges, dedup)
+                              └─► item_signals (signal-vector sums)
+
+Stage boundaries in the reference are compressed files on S3; here they
+are optional parquet checkpoints managed by plans.checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.linking import canonical_dictionary
+from ..operators.links import triples
+from ..operators.mentions import media_mentions, text_mentions
+from ..operators.qrank import qrank, qviews
+from ..operators.signals import item_signals
+from ..sources.interleaved import dictionary, redirects, spans
+from ..sources.tables import load_table
+
+
+def build_graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Construct every output of the pipeline as lazy DataFrames."""
+    documents = load_table(spark, sf_dir, "documents")
+    sp = spans(documents)
+    raw_dict = dictionary(documents)
+    red = redirects(raw_dict)
+    cdict = canonical_dictionary(raw_dict, red)
+
+    tm = text_mentions(sp, cdict)
+    mm = media_mentions(sp, cdict)
+
+    qv = qviews(tm)
+    return {
+        "documents": documents,
+        "spans": sp,
+        "dictionary": raw_dict,
+        "canonical_dictionary": cdict,
+        "redirects": red,
+        "text_mentions": tm,
+        "media_mentions": mm,
+        "qviews": qv,
+        "qrank": qrank(qv),
+        "triples": triples(tm),
+        "item_signals": item_signals(tm, mm, documents, cdict),
+    }
