@@ -1,0 +1,18 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from wikidata_qrank_spark.session import get_session
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session("pytest", cpus=8)
+    yield s
+    s.stop()

@@ -1,0 +1,82 @@
+"""Pipeline invariants on the real sf0.001 corpus.
+
+* span-sequence equality (kind, text, media_ref, order) — the per-row
+  invariant of BASELINE.json input_hint, asserted between the exploded
+  span view and the packed nested docs table.
+* Arrow mention kernel ≡ broadcast-join mention detection.
+* redirect canonicalization: no canonical id retains an outgoing edge.
+* physical-plan assertions: the mention join is a BroadcastHashJoin and
+  the parquet scan prunes to the needed columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from wikidata_qrank_spark.operators.linking import canonical_dictionary
+from wikidata_qrank_spark.operators.mentions import text_mentions, text_mentions_arrow
+from wikidata_qrank_spark.plans.pipeline import build_graph
+from wikidata_qrank_spark.sources.interleaved import dictionary, docs_with_spans, redirects, spans
+from wikidata_qrank_spark.sources.tables import load_table
+
+
+def test_span_sequence_equality(spark):
+    documents = load_table(spark, SF_SMOKE, "documents")
+    flat = spans(documents)
+    packed = docs_with_spans(documents)
+    unpacked = packed.select(
+        "doc_id", F.posexplode("spans").alias("idx", "s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+        "idx",
+    )
+    # order preserved: idx within the packed array == offset ordering
+    bad_order = unpacked.filter(F.col("idx") != F.col("offset")).count()
+    assert bad_order == 0
+    # set equality of (doc_id, offset, kind, text, media_ref)
+    cols = ["doc_id", "offset", "kind", "text", "media_ref"]
+    diff = flat.select(cols).exceptAll(unpacked.select(cols)).count()
+    diff2 = unpacked.select(cols).exceptAll(flat.select(cols)).count()
+    assert diff == 0 and diff2 == 0
+
+
+def test_arrow_mentions_match_join_mentions(spark):
+    documents = load_table(spark, SF_SMOKE, "documents")
+    sp = spans(documents)
+    cdict = canonical_dictionary(dictionary(documents), redirects(dictionary(documents)))
+    a = text_mentions(sp, cdict)
+    b = text_mentions_arrow(sp, cdict)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_canonical_ids_have_no_outgoing_redirects(spark):
+    documents = load_table(spark, SF_SMOKE, "documents")
+    d = dictionary(documents)
+    red = redirects(d)
+    cdict = canonical_dictionary(d, red)
+    leftover = cdict.join(
+        red, cdict.item_id == red.alias_id, "inner"
+    ).count()
+    assert leftover == 0
+
+
+def test_mention_join_is_broadcast_and_scan_prunes(spark):
+    g = build_graph(spark, SF_SMOKE)
+    plan = g["text_mentions"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    scan_plan = g["spans"]._jdf.queryExecution().executedPlan().toString()
+    # spans only needs doc_id + text from the parquet scan
+    assert "n_chars" not in scan_plan and "lang" not in scan_plan
+
+
+def test_qviews_totals_conserved(spark):
+    g = build_graph(spark, SF_SMOKE)
+    total_mentions = g["text_mentions"].count()
+    total_views = g["qviews"].agg(F.sum("views")).collect()[0][0]
+    assert total_mentions == total_views

@@ -24,6 +24,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def item_signals_from_pages(
+    page_signals: DataFrame, weekly_views: DataFrame
+) -> DataFrame:
+    """Reference-shape item_signals (J10 join + A7 final sum).
+
+    ``page_signals``: (wiki, page_id, item, wikitext_bytes, claims,
+    identifiers, sitelinks) — one row per page per wiki; signal columns
+    nullable (only wikidatawiki rows carry claims/identifiers/sitelinks,
+    pagesignals.go:377-383).
+    ``weekly_views``: (wiki, page_id, views) — 52 weekly files unioned.
+
+    Semantics (itemsignals.go:290-388, item_signals_writer.go:24-45):
+    views land on pages; pages without an item drop their views; each
+    item sums views across all its pages/wikis plus the element-wise sum
+    of the per-page signal vector. Golden: itemsignals_test.go:92-169.
+
+    Physical plan: views are corpus-sized, page_signals is page-dim
+    sized; join shuffles both on (wiki, page_id) — partial aggregation
+    of views by (wiki, page_id) first cuts the shuffle to one row per
+    page per side. Final per-item sum is salting-eligible but item
+    cardinality is high and per-item row count ≤ #wikis, so plain
+    hash agg is the right plan here (no hot key amplification).
+    """
+    views_per_page = weekly_views.groupBy("wiki", "page_id").agg(
+        F.sum("views").cast("long").alias("views")
+    )
+    pages = page_signals.join(views_per_page, ["wiki", "page_id"], "left")
+    return (
+        pages.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(
+            F.sum(F.coalesce("views", F.lit(0))).cast("long").alias("pageviews_52w"),
+            F.sum(F.coalesce("wikitext_bytes", F.lit(0))).cast("long").alias("wikitext_bytes"),
+            F.sum(F.coalesce("claims", F.lit(0))).cast("long").alias("claims"),
+            F.sum(F.coalesce("identifiers", F.lit(0))).cast("long").alias("identifiers"),
+            F.sum(F.coalesce("sitelinks", F.lit(0))).cast("long").alias("sitelinks"),
+        )
+    )
+
+
 def item_signals(
     text_mentions_df: DataFrame,
     media_mentions_df: DataFrame,
