@@ -1,8 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship qrank query at sf0.001.
-``queries()`` — one callable per implemented operator (SURVEY.md §2).
-``oracle_sql()`` — matching DuckDB ANSI SQL per query key.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+training-data ops).
+``oracle_sql()`` — matching DuckDB ANSI SQL per query key; keys without
+an oracle get the driver's rows-only check (non-SQL-expressible ops:
+xxhash-based sketches, binary media plumbing, nested span packing).
 """
 
 from __future__ import annotations
@@ -10,6 +13,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from wikidata_qrank_spark import oracles
 from wikidata_qrank_spark.plans.pipeline import build_graph
@@ -40,12 +44,148 @@ def _pipeline_query(key: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _kg_text_mentions_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.linking import canonical_dictionary
+    from wikidata_qrank_spark.operators.mentions import text_mentions_arrow
+    from wikidata_qrank_spark.sources.interleaved import dictionary, redirects, spans
+
+    documents = _documents(spark, sf_dir)
+    d = dictionary(documents)
+    cdict = canonical_dictionary(d, redirects(d))
+    return text_mentions_arrow(spans(documents), cdict)
+
+
+def _kg_docs_with_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.sources.interleaved import docs_with_spans
+
+    return docs_with_spans(_documents(spark, sf_dir))
+
+
+def _td_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.textstats import fingerprints
+
+    return fingerprints(_documents(spark, sf_dir))
+
+
+def _td_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.dedup import content_fingerprint
+
+    fp = content_fingerprint(_documents(spark, sf_dir))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _td_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.textstats import token_counts
+
+    return token_counts(_documents(spark, sf_dir))
+
+
+def _td_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.textstats import quality_scores
+
+    return quality_scores(_documents(spark, sf_dir))
+
+
+def _td_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.textstats import language_id
+
+    return language_id(_documents(spark, sf_dir))
+
+
+def _td_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.06)
+
+
+def _td_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents(spark, sf_dir))
+
+
+def _td_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_documents(spark, sf_dir), max_hamming=3)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _td_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.similarity import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 16), k=5)
+
+
+def _td_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 16), k=5)
+
+
+def _td_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 16), k=5)
+
+
+def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.multimodal import extract_features, media_table
+    from wikidata_qrank_spark.sources.interleaved import spans
+
+    return extract_features(media_table(spans(_documents(spark, sf_dir))))
+
+
+def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.sources.tables import load_table
+    from wikidata_qrank_spark.streaming.events import windowed_event_counts
+
+    return windowed_event_counts(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _PIPELINE_KEYS:
         out[f"kg_{key}"] = _pipeline_query(key)
+    out["kg_text_mentions_arrow"] = _kg_text_mentions_arrow
+    out["kg_docs_with_spans"] = _kg_docs_with_spans
+    out["td_fingerprints"] = _td_fingerprints
+    out["td_exact_dedup"] = _td_exact_dedup
+    out["td_token_counts"] = _td_token_counts
+    out["td_quality"] = _td_quality
+    out["td_language_id"] = _td_language_id
+    out["td_ngram_jaccard"] = _td_ngram_jaccard
+    out["td_minhash_pairs"] = _td_minhash_pairs
+    out["td_simhash_pairs"] = _td_simhash_pairs
+    out["td_ann_topk"] = _td_ann_topk
+    out["td_lsh_ann"] = _td_lsh_ann
+    out["td_ivf_ann"] = _td_ivf_ann
+    out["mm_media_features"] = _mm_media_features
+    out["ev_windowed_counts"] = _ev_windowed_counts
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: v for k, v in oracles.ORACLES.items() if k in queries()}
+    qs = queries()
+    return {k: v for k, v in oracles.ORACLES.items() if k in qs}

@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from wikidata_qrank_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample,
+    media_table,
+)
+from wikidata_qrank_spark.sources.interleaved import spans
+from wikidata_qrank_spark.sources.tables import load_table
+
+
+def _media(spark):
+    return media_table(spans(load_table(spark, SF_SMOKE, "documents")))
+
+
+def test_media_table_schema_and_payload(spark):
+    m = _media(spark)
+    assert dict(m.dtypes)["payload"] == "binary"
+    row = m.first()
+    assert bytes(row.payload).decode("utf-8") == row.media_ref
+    assert row.media_type in ("image/jpeg", "image/png", "audio/ogg")
+    assert row.width >= 64 and row.height >= 64
+
+
+def test_extract_features_shape_and_determinism(spark):
+    m = _media(spark).limit(100)
+    feats = extract_features(m)
+    rows = feats.collect()
+    assert all(len(r.feature) == FEATURE_DIM for r in rows)
+    assert all(r.decoded_ok for r in rows)
+    # same ref → same feature vector (stub decode is deterministic)
+    again = {(r.doc_id, r.offset): r.feature for r in extract_features(m).collect()}
+    for r in rows:
+        assert again[(r.doc_id, r.offset)] == r.feature
+
+
+def test_extract_features_tolerates_corrupt_payload(spark):
+    df = spark.createDataFrame(
+        [("d1", 0, "File:x.jpg", bytearray(b"abc")), ("d1", 1, "File:y.jpg", bytearray(b""))],
+        "doc_id string, offset int, media_ref string, payload binary",
+    )
+    got = {r.offset: r.decoded_ok for r in extract_features(df).collect()}
+    assert got == {0: True, 1: False}
+
+
+def test_frame_sample_keeps_every_nth(spark):
+    m = _media(spark)
+    sampled = frame_sample(m, every_nth=3)
+    per_doc = m.groupBy("doc_id").count().withColumnRenamed("count", "total")
+    per_doc_s = sampled.groupBy("doc_id").count().withColumnRenamed("count", "kept")
+    joined = per_doc.join(per_doc_s, "doc_id").collect()
+    for r in joined:
+        assert r.kept == (r.total + 2) // 3

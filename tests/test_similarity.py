@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from wikidata_qrank_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+from wikidata_qrank_spark.sources.tables import load_table
+
+
+def test_brute_force_exact_cosine(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 1.0]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    res = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    by_rank = {r.nn_rank: (r.neighbor_id, r.cosine) for r in res}
+    assert by_rank[1][0] == 1
+    assert abs(by_rank[1][1] - 1 / math.sqrt(2)) < 1e-6
+    assert by_rank[2] == (2, 0.0)
+
+
+def test_lsh_recall_against_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    # synthetic embeddings are near-uniform random — the hardest case
+    # for hyperplane LSH; short codes + many tables keep recall usable
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_topk(emb, queries, k=3, nbits=4, num_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_ivf_returns_k_per_query(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    res = ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=4)
+    counts = {r.query_id: r.n for r in res.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(v == 5 for v in counts.values())

@@ -1,0 +1,296 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's dedup (consecutive-duplicate drop in the links
+writer, links.go:60-77 → exact dedup here), these are the near-dup
+family a 100 TB corpus pipeline needs. All hash primitives in the
+oracle-checked paths use md5 (identical in Spark and DuckDB); the
+scale paths use xxhash64 (JVM-side, faster, no oracle parity needed).
+
+Scale notes
+-----------
+* exact: groupBy on a 128-bit content hash — shuffles one row per doc,
+  hash computed map-side; never shuffles document text.
+* minhash-LSH: shingle → per-seed min-hash → band buckets → self-join
+  per bucket. The only shuffle keys are (band, bucket-hash); candidate
+  verification happens inside buckets, so the quadratic blowup is
+  bounded by bucket size, not corpus size.
+* simhash: 64-bit signature via bit-vote over token hashes; near-dup =
+  signatures equal on k-of-n bands (hamming ≤ threshold by pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.precision import round6
+
+# ---------------------------------------------------------------- exact
+
+
+def content_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint): md5 of whitespace-normalized lowercased
+    text — the document-fingerprint op (portable to the SQL oracle)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return documents.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def exact_duplicate_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fingerprint, dup_count, doc_ids) for every group of exact
+    duplicates (count > 1)."""
+    fp = content_fingerprint(documents, text_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest doc_id per identical content (deterministic
+    survivor, mirroring the reference's first-wins on sorted input)."""
+    fp = documents.withColumn(
+        "__fp",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")),
+    )
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# ---------------------------------------------------- shingles / jaccard
+
+
+def _shingles(documents: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams per document. Built-in
+    array ops only: split → transform over a sequence of start offsets
+    → slice+join. Stays in whole-stage codegen."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        documents.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with n-gram Jaccard ≥ threshold.
+
+    Exact algorithm: |A∩B| via shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
+    The shingle join shuffles on the shingle string; very common
+    shingles fan out quadratically, so at scale run this *after* LSH
+    bucketing (minhash_lsh_pairs) — kept exact here as the verification
+    kernel and the small-corpus path.
+    """
+    sh = _shingles(documents, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            round6(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- minhash
+
+DEFAULT_BANDS = 8
+DEFAULT_ROWS_PER_BAND = 4  # 32 hashes total
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = DEFAULT_BANDS * DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) minhash signature over word
+    shingles. Hash family: xxhash64(shingle, seed i) — JVM-side,
+    codegen'd. Element-wise array min has no built-in aggregate, so the
+    min per seed goes through posexplode + groupBy(doc_id, i) — shuffle
+    rows = docs × num_hashes (bounded, never moves document text)."""
+    sh = _shingles(documents, text_col, shingle_n)
+    hashes = F.array(
+        *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
+    )
+    pos = sh.select("doc_id", F.posexplode(hashes).alias("i", "h"))
+    mins = pos.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    return (
+        mins.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
+        .select(
+            "doc_id", F.transform(F.col("s"), lambda x: x["mh"]).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over minhash sigs.
+
+    Signature split into ``bands`` bands of ``rows_per_band`` hashes;
+    docs sharing any band bucket become a candidate pair. Shuffle key =
+    (band_id, band_hash): hot buckets are real near-dup clusters, so
+    skew here is signal, not pathology.
+    """
+    sig = minhash_signatures(
+        documents, text_col, shingle_n, bands * rows_per_band
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: bigint) — 64-bit bit-vote signature over
+    tokens, entirely with built-in expressions: explode tokens →
+    per-bit vote ±1 via xxhash64 bit tests → sum → sign → reassemble.
+
+    Shuffle: docs × 64 vote rows — no text movement.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    one = F.lit(1).cast("long")
+    votes = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    # bit test via shiftright to avoid 1<<63 literal overflow
+                    F.when(
+                        F.shiftrightunsigned(h, i).bitwiseAND(one) != 0, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for i in range(64)
+                ]
+            )
+        ).alias("bit", "vote"),
+    )
+    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    bits = bit_sums.select(
+        "doc_id",
+        # bit 63 yields Long.MIN — assemble with bitwise OR, not sum;
+        # SQL shiftleft accepts a column shift amount (the F.shiftleft
+        # Python wrapper only takes int)
+        F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END").alias("bitval"),
+    )
+    return bits.groupBy("doc_id").agg(
+        F.bit_or("bitval").cast("long").alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    documents: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates with hamming(simhash) ≤ max_hamming, found by
+    the pigeonhole band trick: split 64 bits into max_hamming+1 bands;
+    any pair within distance shares at least one exact band. Exact
+    hamming verified after the banded join (bit_count is built-in)."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sig = simhash_signatures(documents, text_col)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

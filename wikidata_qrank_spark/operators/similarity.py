@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
+  query set against the corpus; dot products via ``F.zip_with`` +
+  ``F.aggregate`` entirely JVM-side (cast to double for stable
+  accumulation). The 100 TB baseline: one map-only pass over the
+  corpus + a per-query top-k aggregation.
+* ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH signs
+  bucket the corpus; candidates = same-bucket rows only, then exact
+  re-rank inside buckets. Multiple hash tables raise recall.
+* ``ivf_topk`` — IVF-style: k-means-lite centroid assignment (centroids
+  sampled deterministically), probe the ``nprobe`` nearest centroid
+  partitions only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.precision import round6
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> DataFrame:
+    a, b = F.col(a_col), F.col(b_col)
+    return df.withColumn(out, round6(_dot(a, b) / (_norm(a) * _norm(b))))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, nn_rank) — exact top-k per query,
+    excluding self-matches. Queries are broadcast (must be small)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            round6(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "nn_rank")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (pure Python, tiny)."""
+    vals = []
+    state = seed * 2654435761 % (2**32)
+    for _ in range(dim):
+        state = (1103515245 * state + 12345) % (2**31)
+        vals.append((state / 2**31) * 2.0 - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, nbits: int, table_seed: int):
+    """Signed random-projection bucket id (0..2^nbits-1) as a column."""
+    dim = len(df.select(vec_col).first()[0])
+    expr = F.lit(0).cast("long")
+    for bit in range(nbits):
+        plane = F.array(
+            *[F.lit(v) for v in _hyperplane(dim, table_seed * 97 + bit + 1)]
+        )
+        sign = _dot(F.col(vec_col), plane) > 0
+        expr = expr + F.when(sign, F.lit(1 << bit)).otherwise(F.lit(0)).cast("long")
+    return expr
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: union of per-table same-bucket candidates,
+    exact cosine re-rank. Shuffle key = (table, bucket) — corpus text
+    never fans out beyond its buckets."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cand = None
+    for t in range(num_tables):
+        cb = c.withColumn("bucket", lsh_bucket(c, "c_vec", nbits, t + 1))
+        qb = q.withColumn("bucket", lsh_bucket(q, "q_vec", nbits, t + 1))
+        pairs = cb.join(F.broadcast(qb), "bucket").drop("bucket")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.filter(F.col("neighbor_id") != F.col("query_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = cand.withColumn(
+        "cosine",
+        round6(
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "nn_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: centroids = deterministic corpus sample (every
+    Nth vector by id order — a kmeans iteration would refine them; the
+    partition-probe structure is what matters for the scale path).
+    Corpus shuffles once on centroid id; queries probe nprobe cells."""
+    n = corpus.count()
+    step = max(1, n // num_centroids)
+    centroids = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent"))
+        .filter(F.col("cid") % step == 0)
+        .limit(num_centroids)
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+
+    # assign each corpus vector to its nearest centroid (broadcast cents)
+    cassign = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", _dot(F.col("c_vec"), F.col("cent")))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(
+                    F.col("sim").desc(), F.col("cid")
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("neighbor_id", "c_vec", "cid")
+    )
+    qassign = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", _dot(F.col("q_vec"), F.col("cent")))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("cid")
+                )
+            ),
+        )
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "q_vec", "cid")
+    )
+    cand = cassign.join(qassign, "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        round6(
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "nn_rank")
+    )

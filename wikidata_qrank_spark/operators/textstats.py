@@ -1,0 +1,131 @@
+"""Text analysis for training-data pipelines.
+
+All hot paths are built-in expressions (codegen'd); nothing here uses
+Python UDFs. Every operator has a DuckDB oracle (oracles.py).
+
+* language id     — n-gram/stopword-hit heuristic over a per-language
+                    marker list (broadcast as literal arrays)
+* quality scoring — length / punctuation ratio / stopword ratio /
+                    mean token length
+* token counting  — whitespace tokens + a BPE-ish subword estimate
+                    (⌈chars/4⌉ per token, the usual byte-pair heuristic)
+* fingerprinting  — md5 of normalized text (exact-dup key; see also
+                    dedup.content_fingerprint)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.precision import round6
+
+# tiny per-language marker lexicons (the n-gram-heuristic analog; real
+# deployments broadcast a fastText-style model via pandas UDF instead)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "un"],
+    "es": ["el", "los", "que", "y", "una"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _tokens(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def _marker_hits(text_col: str, markers: list[str]):
+    toks = _tokens(text_col)
+    hits = F.lit(0)
+    for m in markers:
+        hits = hits + F.size(F.filter(toks, lambda t: t == F.lit(m)))
+    return hits
+
+
+def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, predicted_lang, lang_score): argmax marker-hit rate;
+    ties break alphabetically; no hits → 'und'."""
+    toks = _tokens(text_col)
+    scores = F.array(
+        *[
+            F.struct(
+                (_marker_hits(text_col, ms) / F.greatest(F.size(toks), F.lit(1)))
+                .cast("double")
+                .alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ms in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # array_max on struct: max by (score, lang) — ties pick the LAST
+    # lang alphabetically under struct ordering; to tie-break FIRST
+    # alphabetically, compare on (score, reversed-rank) — simpler: sort
+    # desc by score then asc lang via negative trick in SQL; here use
+    # sort_array of (negated score, lang) ascending and take element 0.
+    best = F.sort_array(
+        F.transform(
+            scores,
+            lambda s: F.struct(
+                (-s["score"]).alias("neg"), s["lang"].alias("lang"), s["score"].alias("score")
+            ),
+        )
+    )[0]
+    return documents.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "predicted_lang"
+        ),
+        round6(best["score"]).alias("lang_score"),
+    )
+
+
+def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars_measured, stopword_ratio,
+    mean_token_len, quality): a composite [0,1] quality signal."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    stop_hits = F.lit(0)
+    for s in STOPWORDS:
+        stop_hits = stop_hits + F.size(F.filter(toks, lambda t: t == F.lit(s)))
+    stopword_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    mean_tok = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
+    # quality: long enough, not stopword-soup, plausible word lengths
+    quality = round6(
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.5
+        + (1.0 - F.least(stopword_ratio * 2, F.lit(1.0))) * 0.25
+        + F.when((mean_tok >= 3) & (mean_tok <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        round6(stopword_ratio).alias("stopword_ratio"),
+        round6(mean_tok).alias("mean_token_len"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, subword_est): whitespace token count and a
+    BPE-ish estimate — Σ ceil(len(token)/4) (≈4 chars/BPE token)."""
+    toks = _tokens(text_col)
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("ws_tokens"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+        ).alias("subword_est"),
+    )
+
+
+def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint): md5 over lowercased whitespace-normalized
+    text — portable to the SQL oracle bit-for-bit."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return documents.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -131,6 +131,9 @@ WHERE next_id IS NOT NULL AND next_id <> item_id
 """
 )
 
+# Arrow mention kernel computes the identical relation → same oracle
+ORACLES["kg_text_mentions_arrow"] = ORACLES["kg_text_mentions"]
+
 ORACLES["kg_item_signals"] = kg_sql(
     """
 , per_doc AS (
@@ -168,3 +171,169 @@ LEFT JOIN ident i ON COALESCE(t.item_id, m.item_id) = i.item_id
     "documents_str",
     "(SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars FROM documents)",
 )
+
+
+# ---- training-data operators ------------------------------------------
+
+_STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
+
+ORACLES["td_fingerprints"] = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+ORACLES["td_exact_dedup"] = """
+SELECT fingerprint,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+GROUP BY fingerprint
+HAVING count(*) > 1
+"""
+
+ORACLES["td_token_counts"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+            AS BIGINT) AS subword_est
+FROM documents
+"""
+
+ORACLES["td_quality"] = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS l,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_measured
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_tokens, n_chars_measured,
+         CAST(list_sum(list_transform(l,
+                 t -> CASE WHEN t IN """ + _STOPWORDS_SQL + """ THEN 1 ELSE 0 END))
+               AS DOUBLE) / greatest(n_tokens, 1) AS sr,
+         CAST(n_chars_measured - (n_tokens - 1) AS DOUBLE)
+               / greatest(n_tokens, 1) AS mtl
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars_measured,
+       floor(sr * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+       floor(mtl * 1000000.0 + 0.5) / 1000000.0 AS mean_token_len,
+       floor((least(n_tokens / 64.0, 1.0) * 0.5
+             + (1.0 - least(sr * 2, 1.0)) * 0.25
+             + CASE WHEN mtl >= 3 AND mtl <= 10
+                    THEN 0.25 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS quality
+FROM m
+"""
+
+ORACLES["td_language_id"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         greatest(len(string_split(text, ' ')), 1) AS n
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, 'de' AS lang,
+         CAST(list_sum(list_transform(l, t -> CASE WHEN t IN ('der','die','und','das','ein') THEN 1 ELSE 0 END)) AS DOUBLE) / n AS score
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 'en',
+         CAST(list_sum(list_transform(l, t -> CASE WHEN t IN ('the','and','of','to','a') THEN 1 ELSE 0 END)) AS DOUBLE) / n
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 'es',
+         CAST(list_sum(list_transform(l, t -> CASE WHEN t IN ('el','los','que','y','una') THEN 1 ELSE 0 END)) AS DOUBLE) / n
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 'fr',
+         CAST(list_sum(list_transform(l, t -> CASE WHEN t IN ('le','la','et','les','un') THEN 1 ELSE 0 END)) AS DOUBLE) / n
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 'zh',
+         CAST(list_sum(list_transform(l, t -> CASE WHEN t IN ('的','是','了','在','和') THEN 1 ELSE 0 END)) AS DOUBLE) / n
+  FROM toks
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS r
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS predicted_lang,
+       floor(score * 1000000.0 + 0.5) / 1000000.0 AS lang_score
+FROM best WHERE r = 1
+"""
+
+ORACLES["td_ngram_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                 i -> array_to_string(l[i:i+2], ' '))) AS gram
+    FROM toks
+  ) WHERE length(gram) > 0
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       floor(CAST(i.n_inter AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE floor(CAST(i.n_inter AS DOUBLE)
+            / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.06
+"""
+
+ORACLES["td_ann_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         floor(
+           list_sum(list_transform(generate_series(1, len(qv)),
+                                   i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                                   i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                                   i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+           * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM c, q
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS nn_rank
+FROM scored
+QUALIFY nn_rank <= 5
+"""
+
+# ---- events (batch form of the streaming aggregation) ------------------
+
+ORACLES["ev_windowed_counts"] = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
