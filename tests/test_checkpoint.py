@@ -1,0 +1,84 @@
+"""Resumability: stage skip, lineage columns, atomicity, invalidation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from wikidata_qrank_spark.plans.checkpoint import (
+    LINEAGE_PARTITION_COL,
+    LINEAGE_SNAPSHOT_COL,
+    CheckpointManager,
+    build_checkpointed,
+)
+
+
+def test_full_pipeline_checkpoints_and_skips(spark, tmp_path):
+    base = str(tmp_path / "ckpt")
+    g1 = build_checkpointed(spark, SF_SMOKE, base)
+    m1 = g1["manager"].metrics()
+    assert all(not v["skipped"] for v in m1.values())
+    assert m1["qrank"]["rows"] == 19
+
+    # second run: every stage skipped, same snapshot ids (no recompute)
+    g2 = build_checkpointed(spark, SF_SMOKE, base)
+    m2 = g2["manager"].metrics()
+    assert all(v["skipped"] for v in m2.values())
+    assert {k: v["snapshot_id"] for k, v in m1.items()} == {
+        k: v["snapshot_id"] for k, v in m2.items()
+    }
+    # results identical
+    r1 = {(r.item, r.views, r.rank) for r in g1["qrank"].drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL).collect()}
+    r2 = {(r.item, r.views, r.rank) for r in g2["qrank"].drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL).collect()}
+    assert r1 == r2
+
+
+def test_code_version_invalidates(spark, tmp_path):
+    base = str(tmp_path / "ckpt2")
+    g1 = build_checkpointed(spark, SF_SMOKE, base, code_version="v1")
+    g2 = build_checkpointed(spark, SF_SMOKE, base, code_version="v2")
+    m2 = g2["manager"].metrics()
+    assert all(not v["skipped"] for v in m2.values())
+
+
+def test_lineage_columns_present(spark, tmp_path):
+    base = str(tmp_path / "ckpt3")
+    g = build_checkpointed(spark, SF_SMOKE, base)
+    cols = g["triples"].columns
+    assert LINEAGE_PARTITION_COL in cols and LINEAGE_SNAPSHOT_COL in cols
+    snap = g["triples"].select(LINEAGE_SNAPSHOT_COL).distinct().collect()
+    assert len(snap) == 1
+    manifest = json.load(open(os.path.join(base, "triples", "manifest.json")))
+    assert snap[0][0] == manifest["snapshot_id"]
+    # per-partition lineage matches actual partitioning
+    nparts = g["triples"].select(LINEAGE_PARTITION_COL).distinct().count()
+    assert nparts >= 1
+
+
+def test_sorted_checkpoint_partitions(spark, tmp_path):
+    """triples checkpoint is range-partitioned + sorted within partitions
+    (the reference's sorted-file invariant)."""
+    base = str(tmp_path / "ckpt4")
+    g = build_checkpointed(spark, SF_SMOKE, base)
+    df = g["triples"].select("src_id", "dst_id", LINEAGE_PARTITION_COL)
+
+    def check_sorted(it):
+        prev = None
+        for row in it:
+            cur = (row.src_id, row.dst_id)
+            if prev is not None and cur < prev:
+                yield ("unsorted",)
+            prev = cur
+
+    bad = df.rdd.mapPartitions(check_sorted).count()
+    assert bad == 0
+
+
+def test_stage_version_digest():
+    a = CheckpointManager.stage_version("x", "y", params="p")
+    assert a == CheckpointManager.stage_version("y", "x", params="p")
+    assert a != CheckpointManager.stage_version("x", "y", params="q")
+    assert a != CheckpointManager.stage_version("x", params="p")

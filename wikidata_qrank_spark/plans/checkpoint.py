@@ -1,0 +1,253 @@
+"""Checkpointed, resumable pipeline execution.
+
+Reference semantics: every stage writes its output to a versioned file
+and later runs skip stages whose output already exists with an
+up-to-date version (pageviews.go:87-93, itemsignals.go:141-152 —
+"memoized stage skip", SURVEY.md X2), with output version = max(input
+versions) (X3) and atomic tmp-file+rename writes (O-12).
+
+Spark-native realization (no Iceberg jars in this sandbox, so parquet +
+a JSON manifest emulates the snapshot log; the API maps 1:1 onto an
+Iceberg catalog in production):
+
+* each stage writes parquet to ``<base>/<stage>/data`` via a staging
+  dir + atomic rename — partial writes are invisible, identical to the
+  reference's tmp-file+rename;
+* a manifest JSON per stage records: snapshot_id, version (hash of the
+  input versions + params → max-of-inputs semantics), row count, wall
+  time, partition count — the per-stage metrics the north rule asks for;
+* every checkpointed row carries lineage columns ``_source_partition``
+  (the shuffle partition that produced it) and ``_snapshot_id``;
+* re-running skips any stage whose manifest version matches and reads
+  the parquet back — resumability is per-stage, and within a stage the
+  atomic rename makes retries idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_PARTITION_COL = "_source_partition"
+LINEAGE_SNAPSHOT_COL = "_snapshot_id"
+
+
+@dataclass
+class StageResult:
+    name: str
+    snapshot_id: str
+    version: str
+    rows: int
+    wall_sec: float
+    skipped: bool
+    path: str
+
+
+@dataclass
+class CheckpointManager:
+    spark: SparkSession
+    base_dir: str
+    results: dict[str, StageResult] = field(default_factory=dict)
+
+    def _stage_dir(self, name: str) -> str:
+        return os.path.join(self.base_dir, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._stage_dir(name), "manifest.json")
+
+    def _read_manifest(self, name: str) -> dict | None:
+        try:
+            with open(self._manifest_path(name)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    @staticmethod
+    def stage_version(*input_versions: str, params: str = "") -> str:
+        """Version = digest of input versions + params (the max-of-input-
+        versions rule generalized to content addressing)."""
+        h = hashlib.sha256()
+        for v in sorted(input_versions):
+            h.update(v.encode())
+        h.update(params.encode())
+        return h.hexdigest()[:16]
+
+    def run_stage(
+        self,
+        name: str,
+        version: str,
+        compute: Callable[[], DataFrame],
+        sort_within: list[str] | None = None,
+        range_partition: list[str] | None = None,
+        num_partitions: int | None = None,
+    ) -> DataFrame:
+        """Return the stage output, recomputing only when stale.
+
+        ``range_partition`` + ``sort_within`` reproduce the reference's
+        sorted-output invariant (repartitionByRange + sortWithinPartitions)
+        so downstream merge-style consumers see ordered partitions.
+        """
+        data_dir = os.path.join(self._stage_dir(name), "data")
+        manifest = self._read_manifest(name)
+        if manifest and manifest.get("version") == version and os.path.isdir(data_dir):
+            df = self.spark.read.parquet(data_dir)
+            self.results[name] = StageResult(
+                name=name,
+                snapshot_id=manifest["snapshot_id"],
+                version=version,
+                rows=manifest["rows"],
+                wall_sec=0.0,
+                skipped=True,
+                path=data_dir,
+            )
+            return df
+
+        t0 = time.perf_counter()
+        snapshot_id = uuid.uuid4().hex[:12]
+        df = compute()
+        if range_partition:
+            parts = num_partitions or self.spark.sparkContext.defaultParallelism
+            df = df.repartitionByRange(parts, *range_partition)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        df = df.withColumn(LINEAGE_PARTITION_COL, F.spark_partition_id()).withColumn(
+            LINEAGE_SNAPSHOT_COL, F.lit(snapshot_id)
+        )
+
+        staging = os.path.join(self._stage_dir(name), f"_staging_{snapshot_id}")
+        df.write.mode("overwrite").parquet(staging)
+        # atomic publish: rename staging → data (reference O-12)
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        os.replace(staging, data_dir)
+
+        out = self.spark.read.parquet(data_dir)
+        rows = out.count()
+        wall = time.perf_counter() - t0
+        os.makedirs(self._stage_dir(name), exist_ok=True)
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(
+                {
+                    "stage": name,
+                    "snapshot_id": snapshot_id,
+                    "version": version,
+                    "rows": rows,
+                    "wall_sec": round(wall, 3),
+                    "partitions": out.rdd.getNumPartitions(),
+                    "created_unix": time.time(),
+                },
+                f,
+                indent=2,
+            )
+        self.results[name] = StageResult(
+            name=name,
+            snapshot_id=snapshot_id,
+            version=version,
+            rows=rows,
+            wall_sec=wall,
+            skipped=False,
+            path=data_dir,
+        )
+        return out
+
+    def metrics(self) -> dict:
+        return {
+            name: {
+                "rows": r.rows,
+                "wall_sec": round(r.wall_sec, 3),
+                "skipped": r.skipped,
+                "snapshot_id": r.snapshot_id,
+            }
+            for name, r in self.results.items()
+        }
+
+
+def build_checkpointed(
+    spark: SparkSession, sf_dir: str, base_dir: str, code_version: str = "v1"
+) -> dict[str, DataFrame]:
+    """The KG pipeline with per-stage checkpoints. Re-running with the
+    same inputs skips every stage; changing ``code_version`` or the
+    input dir invalidates downstream stages."""
+    from ..operators.linking import canonical_dictionary
+    from ..operators.links import triples
+    from ..operators.mentions import media_mentions, text_mentions
+    from ..operators.qrank import qrank, qviews
+    from ..operators.signals import item_signals
+    from ..sources.interleaved import dictionary, redirects, spans
+    from ..sources.tables import load_table
+
+    mgr = CheckpointManager(spark, base_dir)
+    input_version = f"{sf_dir}:{code_version}"
+
+    documents = load_table(spark, sf_dir, "documents")
+
+    v_spans = CheckpointManager.stage_version(input_version, params="spans")
+    sp = mgr.run_stage("spans", v_spans, lambda: spans(documents))
+
+    v_dict = CheckpointManager.stage_version(input_version, params="cdict")
+    cdict = mgr.run_stage(
+        "canonical_dictionary",
+        v_dict,
+        lambda: canonical_dictionary(dictionary(documents), redirects(dictionary(documents))),
+    )
+
+    v_tm = CheckpointManager.stage_version(v_spans, v_dict, params="text_mentions")
+    tm = mgr.run_stage(
+        "text_mentions",
+        v_tm,
+        lambda: text_mentions(sp, cdict),
+        range_partition=["doc_id"],
+        sort_within=["doc_id", "offset"],
+    )
+    v_mm = CheckpointManager.stage_version(v_spans, v_dict, params="media_mentions")
+    mm = mgr.run_stage("media_mentions", v_mm, lambda: media_mentions(sp, cdict))
+
+    v_qv = CheckpointManager.stage_version(v_tm, params="qviews")
+    qv = mgr.run_stage("qviews", v_qv, lambda: qviews(tm.drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL)))
+
+    v_qr = CheckpointManager.stage_version(v_qv, params="qrank")
+    qr = mgr.run_stage(
+        "qrank", v_qr, lambda: qrank(qv.drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL))
+    )
+
+    v_tr = CheckpointManager.stage_version(v_tm, params="triples")
+    tr = mgr.run_stage(
+        "triples",
+        v_tr,
+        lambda: triples(tm.drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL)),
+        range_partition=["src_id", "dst_id"],
+        sort_within=["src_id", "dst_id"],
+    )
+
+    v_is = CheckpointManager.stage_version(v_tm, v_mm, v_dict, params="item_signals")
+    sig = mgr.run_stage(
+        "item_signals",
+        v_is,
+        lambda: item_signals(
+            tm.drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL),
+            mm.drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL),
+            documents,
+            cdict.drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL),
+        ),
+    )
+
+    return {
+        "manager": mgr,
+        "spans": sp,
+        "canonical_dictionary": cdict,
+        "text_mentions": tm,
+        "media_mentions": mm,
+        "qviews": qv,
+        "qrank": qr,
+        "triples": tr,
+        "item_signals": sig,
+    }
