@@ -83,35 +83,164 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     return {"total_sec": total, "queries": timings, "n_docs": n_docs}
 
 
-def scaling_mode() -> None:
-    n = max(2, CPUS // 4)
-    results = {}
-    for level in (n, CPUS):
-        out = subprocess.run(
-            [sys.executable, __file__, "--single", str(level)],
-            capture_output=True,
-            text=True,
-            check=False,
+BENCH_REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "720"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+
+
+def _corpus_dir() -> str:
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    import tempfile
+
+    return os.path.join(tempfile.mkdtemp(dir=root, prefix="kgbench_"), "corpus")
+
+
+def materialize_corpus(sf_dir: str, repl: int, out: str) -> int:
+    """Write the deterministic replicated corpus once; both parallelism
+    levels then read the identical parquet input (the north rule's
+    'same job, same input, two cluster sizes')."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.session import get_session
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    spark = get_session("bench-setup", cpus=CPUS)
+    base = load_table(spark, sf_dir, "documents").repartition(96)
+    docs = (
+        base.select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("__r"),
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[level] = json.loads(line)
-    t_n, t_4n = results[n]["value"], results[CPUS]["value"]
-    docs = results[CPUS]["n_docs"]
-    tp_n, tp_4n = docs / t_n, docs / t_4n
-    eff = (tp_4n / tp_n) / (CPUS / n)
+        .withColumn(
+            "doc_id",
+            F.concat_ws("-", F.col("doc_id").cast("string"), F.col("__r").cast("string")),
+        )
+        .drop("__r")
+    )
+    docs.write.mode("overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    spark.stop()
+    return n
+
+
+def run_scaled_build(cpus: int, corpus_dir: str, sf_dir: str, trials: int = 3) -> dict:
+    """One KG build (fused Arrow kernel: mention detection + view
+    partials + adjacency edges in a single text pass, then one combining
+    shuffle) over the materialized corpus. Warmed JVM, min-of-trials.
+
+    The process is pinned to ``cpus`` CPUs by the parent (sched
+    affinity), so GC/JIT/netty threads can't borrow extra cores and
+    deflate the low-parallelism measurement.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.operators.fused import (
+        combine_partials,
+        kg_partials,
+        qviews_from_combined,
+        triples_from_combined,
+    )
+    from wikidata_qrank_spark.operators.linking import canonical_dictionary
+    from wikidata_qrank_spark.session import get_session
+    from wikidata_qrank_spark.sources.interleaved import dictionary, redirects
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    spark = get_session(
+        f"bench-scale-{cpus}",
+        cpus=cpus,
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.sql.shuffle.partitions": str(cpus * 2),
+            "spark.sql.files.maxPartitionBytes": "131072",
+            "spark.sql.files.openCostInBytes": "131072",
+            **(
+                {"spark.local.dir": "/dev/shm/spark-local"}
+                if os.path.isdir("/dev/shm")
+                else {}
+            ),
+        },
+    )
+    corpus = spark.read.parquet(corpus_dir)
+    small = load_table(spark, sf_dir, "documents")
+    d = dictionary(small)
+    cdict = canonical_dictionary(d, redirects(d)).cache()
+    cdict.count()
+
+    def job(df):
+        t0 = _time.perf_counter()
+        combined = combine_partials(kg_partials(df, cdict))
+        qchk = qviews_from_combined(combined).select(
+            F.bit_xor(F.xxhash64("item_id", "views")).alias("chk")
+        )
+        tchk = triples_from_combined(combined).select(
+            F.bit_xor(F.xxhash64("subj", "pred", "obj")).alias("chk")
+        )
+        qchk.unionAll(tchk).collect()
+        return _time.perf_counter() - t0
+
+    job(corpus.limit(20000))
+    job(corpus.limit(100000))
+    walls = [job(corpus) for _ in range(trials)]
+    n = corpus.count()
+    spark.stop()
+    return {"wall_sec": round(min(walls), 3), "all_walls": [round(w, 3) for w in walls],
+            "n_docs": n, "cpus": cpus}
+
+
+def _run_level_pinned(cpus: int, corpus_dir: str) -> dict:
+    """Subprocess pinned to `cpus` CPUs running one level."""
+    code = (
+        "import os, sys, json; os.sched_setaffinity(0, set(range({c})));"
+        "sys.path.insert(0, {root!r});"
+        "import bench; print('LEVEL ' + json.dumps("
+        "bench.run_scaled_build({c}, {corpus!r}, {sf!r})))"
+    ).format(c=cpus, root=os.path.dirname(os.path.abspath(__file__)),
+             corpus=corpus_dir, sf=SF_DIR)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=False
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("LEVEL "):
+            return json.loads(line[6:])
+    raise RuntimeError(f"level {cpus} failed: {out.stderr[-2000:]}")
+
+
+def scaling_mode() -> None:
+    import shutil
+
+    n = SCALE_N
+    n4 = n * 4
+    corpus_dir = _corpus_dir()
+    docs = materialize_corpus(SF_DIR, BENCH_REPL, corpus_dir)
+    try:
+        r_n = _run_level_pinned(n, corpus_dir)
+        r_4n = _run_level_pinned(n4, corpus_dir)
+    finally:
+        shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
+    tp_n = docs / r_n["wall_sec"]
+    tp_4n = docs / r_4n["wall_sec"]
+    eff = (tp_4n / tp_n) / (n4 / n)
     print(
         json.dumps(
             {
                 "metric": "kg_build_scaling",
                 "unit": "docs/sec",
                 "n_cpus": n,
-                "n4_cpus": CPUS,
+                "n4_cpus": n4,
                 "docs": docs,
+                "wall_n_sec": r_n["wall_sec"],
+                "wall_4n_sec": r_4n["wall_sec"],
+                "all_walls_n": r_n["all_walls"],
+                "all_walls_4n": r_4n["all_walls"],
                 "throughput_n": round(tp_n, 1),
                 "throughput_4n": round(tp_4n, 1),
                 "speedup": round(tp_4n / tp_n, 3),
                 "scaling_efficiency": round(eff, 3),
                 "sf": _sf_label(SF_DIR),
+                "replication": BENCH_REPL,
             }
         )
     )

@@ -1,0 +1,44 @@
+"""Fused Arrow kernel ≡ unfused built-in operators."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from wikidata_qrank_spark.operators.fused import (
+    combine_partials,
+    kg_partials,
+    qviews_from_combined,
+    triples_from_combined,
+)
+from wikidata_qrank_spark.operators.linking import canonical_dictionary
+from wikidata_qrank_spark.operators.links import triples
+from wikidata_qrank_spark.operators.mentions import text_mentions
+from wikidata_qrank_spark.operators.qrank import qviews
+from wikidata_qrank_spark.sources.interleaved import dictionary, redirects, spans
+from wikidata_qrank_spark.sources.tables import load_table
+
+
+def test_fused_matches_unfused(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    d = dictionary(docs)
+    cdict = canonical_dictionary(d, redirects(d))
+
+    combined = combine_partials(kg_partials(docs, cdict))
+
+    fused_qv = {
+        (r.item_id, r.views) for r in qviews_from_combined(combined).collect()
+    }
+    unfused_qv = {
+        (r.item_id, r.views)
+        for r in qviews(text_mentions(spans(docs), cdict)).collect()
+    }
+    assert fused_qv == unfused_qv
+
+    fused_tr = {
+        (r.subj, r.pred, r.obj)
+        for r in triples_from_combined(combined).collect()
+    }
+    unfused_tr = {
+        (r.subj, r.pred, r.obj)
+        for r in triples(text_mentions(spans(docs), cdict)).collect()
+    }
+    assert fused_tr == unfused_tr

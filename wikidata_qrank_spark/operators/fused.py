@@ -1,0 +1,107 @@
+"""Fused Arrow build kernel — the 100 TB scale path.
+
+One vectorized pass over the document text computes, per Arrow batch:
+
+* per-entity mention-count partials (the map side of qviews A4 — the
+  kernel IS phase one of the two-phase aggregation, so no salt is
+  needed downstream: reduce-side rows ≤ batches × |entities|), and
+* the distinct entity-adjacency edges of the batch (triples, U2
+  semantics applied per batch, finished by a global distinct).
+
+Why fused: the all-built-ins pipeline (spans → explode → broadcast
+join → window) re-materializes the token stream several times —
+measured memory-bandwidth-bound on local hardware and shuffle-bound at
+cluster scale (the window form shuffles every mention on doc_id). Doc
+adjacency is row-local, so a single text pass suffices; only
+kilobyte-scale partials reach the exchange. This is exactly the
+north-star shape: "vectorized Arrow/pandas UDFs perform batched mention
+detection against a broadcast title→QID dictionary".
+
+Equality with the unfused operators (mentions+qviews, triples) is
+asserted in tests/test_fused.py; both forms share the same DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.interleaved import MEDIA_MOD, MEDIA_PHASE
+from .links import PRED_LINKS_TO
+
+PARTIALS_SCHEMA = "tag string, a long, b long, n long"
+
+
+def kg_partials(documents: DataFrame, dict_df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-batch partials: ('v', item_id, 0, count) view partials and
+    ('e', src_id, dst_id, 1) edge candidates. Text is read exactly once;
+    output is O(|entities| + |edges|) per batch, independent of batch
+    row count."""
+    spark = documents.sparkSession
+    table = {
+        r["title"]: r["item_id"] for r in dict_df.select("title", "item_id").collect()
+    }
+    bc = spark.sparkContext.broadcast(table)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lookup = bc.value
+        for pdf in batches:
+            counts: dict[int, int] = {}
+            edges: set[tuple[int, int]] = set()
+            for text in pdf[text_col]:
+                prev = None
+                for pos, tok in enumerate(text.split(" ")):
+                    if pos % MEDIA_MOD == MEDIA_PHASE:
+                        continue
+                    item = lookup.get(tok)
+                    if item is None:
+                        continue
+                    counts[item] = counts.get(item, 0) + 1
+                    if prev is not None and prev != item:
+                        edges.add((prev, item))
+                    prev = item
+            tags = ["v"] * len(counts) + ["e"] * len(edges)
+            a = [*counts.keys()] + [e[0] for e in edges]
+            b = [0] * len(counts) + [e[1] for e in edges]
+            n = [*counts.values()] + [1] * len(edges)
+            yield pd.DataFrame(
+                {
+                    "tag": pd.Series(tags, dtype="object"),
+                    "a": pd.Series(a, dtype="int64"),
+                    "b": pd.Series(b, dtype="int64"),
+                    "n": pd.Series(n, dtype="int64"),
+                }
+            )
+
+    return documents.select(text_col).mapInPandas(kernel, schema=PARTIALS_SCHEMA)
+
+
+def combine_partials(partials: DataFrame) -> DataFrame:
+    """Single shuffle finishing both outputs: view sums and distinct
+    edges in one groupBy (key = (tag, a, b); 'v' rows carry b=0)."""
+    return partials.groupBy("tag", "a", "b").agg(F.sum("n").cast("long").alias("n"))
+
+
+def qviews_from_combined(combined: DataFrame) -> DataFrame:
+    # combined already has one row per (v, item, 0) — just project
+    return combined.filter(F.col("tag") == "v").select(
+        F.col("a").alias("item_id"), F.col("n").alias("views")
+    )
+
+
+def triples_from_combined(combined: DataFrame) -> DataFrame:
+    return (
+        combined.filter(F.col("tag") == "e")
+        .select(
+            F.concat(F.lit("Q"), F.col("a")).alias("subj"),
+            F.lit(PRED_LINKS_TO).alias("pred"),
+            F.concat(F.lit("Q"), F.col("b")).alias("obj"),
+            F.col("a").alias("src_id"),
+            F.col("b").alias("dst_id"),
+        )
+        .dropDuplicates(["src_id", "dst_id"])
+    )

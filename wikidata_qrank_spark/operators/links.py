@@ -47,6 +47,68 @@ def triples(mentions_df: DataFrame) -> DataFrame:
     )
 
 
+def triples_arrow(documents: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """Shuffle-free triple extraction: adjacency is *document-local*, so
+    the consecutive-mention pairs are computed inside an Arrow batch
+    kernel per document row — the corpus is never shuffled. Only the
+    already-deduped-per-task pair stream reaches the exchange, where
+    dropDuplicates' map-side partial aggregation reduces it to the edge
+    set (|E| ≪ corpus).
+
+    This is the scale path; ``triples`` (lead-window form) is the
+    all-built-ins equivalent — they produce identical edge sets (tested
+    + same oracle). At 10^12 docs the window form shuffles the whole
+    mention stream on doc_id; this form shuffles ~|E| rows.
+
+    Matches the span derivation of sources.interleaved: positions with
+    offset % MEDIA_MOD == MEDIA_PHASE are media spans and do not join
+    the text-mention adjacency chain, exactly like spans()+text_mentions.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..sources.interleaved import MEDIA_MOD, MEDIA_PHASE
+
+    spark = documents.sparkSession
+    table = {r["title"]: r["item_id"] for r in dict_df.select("title", "item_id").collect()}
+    bc = spark.sparkContext.broadcast(table)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lookup = bc.value
+        for pdf in batches:
+            srcs: list[int] = []
+            dsts: list[int] = []
+            seen: set[tuple[int, int]] = set()
+            for text in pdf["text"]:
+                prev = None
+                for pos, tok in enumerate(text.split(" ")):
+                    if pos % MEDIA_MOD == MEDIA_PHASE:
+                        continue
+                    item = lookup.get(tok)
+                    if item is None:
+                        continue
+                    if prev is not None and prev != item:
+                        edge = (prev, item)
+                        if edge not in seen:
+                            seen.add(edge)
+                            srcs.append(prev)
+                            dsts.append(item)
+                    prev = item
+            yield pd.DataFrame({"src_id": pd.Series(srcs, dtype="int64"),
+                                "dst_id": pd.Series(dsts, dtype="int64")})
+
+    edges = documents.select("text").mapInPandas(kernel, schema="src_id long, dst_id long")
+    deduped = edges.dropDuplicates(["src_id", "dst_id"])
+    return deduped.select(
+        F.concat(F.lit("Q"), F.col("src_id")).alias("subj"),
+        F.lit(PRED_LINKS_TO).alias("pred"),
+        F.concat(F.lit("Q"), F.col("dst_id")).alias("obj"),
+        F.col("src_id"),
+        F.col("dst_id"),
+    )
+
+
 def write_triples(triples_df: DataFrame, path: str, num_partitions: int = 32) -> None:
     """Persist sorted like the reference's links files: range-partitioned
     by (src, dst), sorted within partitions — globally ordered output
