@@ -67,6 +67,29 @@ def _kg_docs_with_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_with_spans(_documents(spark, sf_dir))
 
 
+def _fused_combined(spark: SparkSession, sf_dir: str):
+    from wikidata_qrank_spark.operators.fused import combine_partials, kg_partials
+    from wikidata_qrank_spark.operators.linking import canonical_dictionary
+    from wikidata_qrank_spark.sources.interleaved import dictionary, redirects
+
+    documents = _documents(spark, sf_dir)
+    d = dictionary(documents)
+    cdict = canonical_dictionary(d, redirects(d))
+    return combine_partials(kg_partials(documents, cdict))
+
+
+def _kg_qviews_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.fused import qviews_from_combined
+
+    return qviews_from_combined(_fused_combined(spark, sf_dir))
+
+
+def _kg_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.fused import triples_from_combined
+
+    return triples_from_combined(_fused_combined(spark, sf_dir))
+
+
 def _td_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.operators.textstats import fingerprints
 
@@ -170,6 +193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"kg_{key}"] = _pipeline_query(key)
     out["kg_text_mentions_arrow"] = _kg_text_mentions_arrow
     out["kg_docs_with_spans"] = _kg_docs_with_spans
+    out["kg_qviews_fused"] = _kg_qviews_fused
+    out["kg_triples_fused"] = _kg_triples_fused
     out["td_fingerprints"] = _td_fingerprints
     out["td_exact_dedup"] = _td_exact_dedup
     out["td_token_counts"] = _td_token_counts

@@ -1,0 +1,220 @@
+"""Goldens for stats sampling, interwiki links, page-signals merge, sinks."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+
+from wikidata_qrank_spark.operators.sinks import write_item_signals_csv, write_qrank_csv
+from wikidata_qrank_spark.operators.stats import (
+    build_stats,
+    build_stats_from_rows,
+    write_stats_json,
+)
+from wikidata_qrank_spark.operators.wiki import (
+    interwiki_links,
+    page_signals_merge,
+    qviews_monthly,
+)
+
+
+def test_stats_golden(tmp_path):
+    """stats_test.go:15-55 — 9-row qrank, topN=2, samples=8."""
+    rows = [
+        ("Q1", 4721864130),
+        ("Q2", 107330319),
+        ("Q3", 69160330),
+        ("Q4", 5111172),
+        ("Q5", 51123),
+        ("Q6", 156),
+        ("Q7", 1),
+        ("Q8", 1),
+        ("Q9", 1),
+    ]
+    stats = build_stats_from_rows(rows, num_ranks=9, top_n=2, num_samples=8)
+    path = str(tmp_path / "stats.json")
+    write_stats_json(stats, path)
+    got = open(path).read()
+    want = '{"Median":2,"Samples":[["Q1",1,4721864130],["Q2",2,107330319],["Q5",5,51123],["Q9",9,1]]}'
+    assert got == want
+
+
+def test_stats_from_dataframe(spark):
+    qrank = spark.createDataFrame(
+        [("Q1", 4721864130, 1), ("Q2", 107330319, 2), ("Q3", 69160330, 3),
+         ("Q4", 5111172, 4), ("Q5", 51123, 5), ("Q6", 156, 6),
+         ("Q7", 1, 7), ("Q8", 1, 8), ("Q9", 1, 9)],
+        "item string, views long, rank long",
+    )
+    stats = build_stats(qrank, top_n=2, num_samples=8)
+    assert stats["Median"] == 2
+    assert stats["Samples"][0] == ["Q1", 1, 4721864130]
+    assert stats["Samples"][-1] == ["Q9", 9, 1]
+
+
+# interwiki fixture mirroring the reference's rmwiki testdata
+# (interwikilinks_test.go:16-52 + testdata/interwikimap.php.txt)
+IW_MAP = {
+    ("rmwiki", "b"): "rmwikibooks",
+    ("rmwiki", "s"): "rmwikisource",
+    ("_wikibooks", "it"): "itwikibooks",
+    ("_wikibooks", "rm"): "rmwikibooks",
+    ("__global", "d"): "wikidatawiki",
+}
+SITE_META = {
+    "rmwiki": ("rm.wikipedia.org", "wiki"),
+    "rmwikibooks": ("rm.wikibooks.org", "wikibooks"),
+    "itwikibooks": ("it.wikibooks.org", "wikibooks"),
+    "wikidatawiki": ("www.wikidata.org", "wikidata"),
+}
+
+
+def test_interwiki_links_golden(spark):
+    page_items = spark.createDataFrame(
+        [(1, "Q5296"), (799, "Q72")], "page_id long, item string"
+    )
+    iwlinks = spark.createDataFrame(
+        [
+            (1, "d", "Wikidata:Accueil_principal"),
+            (1, "m", "Hauptseite"),                      # unresolvable prefix
+            (1, "meta", "Lista_di_Wikipedie"),           # unresolvable
+            (1, "b", "Main_Page/Rumantsch"),
+            (1, "b", "it:Categoria:Testi_in_romancio"),  # chain: b → it
+            (1, "translatewiki", "Portal:rm"),           # unresolvable
+            (799, "de", "gsw:User:Test"),                # unresolvable
+        ],
+        "from_page long, prefix string, title string",
+    )
+    rows = interwiki_links(page_items, iwlinks, IW_MAP, SITE_META, "rmwiki")
+    got = sorted((r.target_domain, r.title, r.item) for r in rows.collect())
+    assert got == [
+        ("it.wikibooks.org", "Categoria:Testi_in_romancio", "Q5296"),
+        ("rm.wikibooks.org", "Main_Page/Rumantsch", "Q5296"),
+        ("www.wikidata.org", "Wikidata:Accueil_principal", "Q5296"),
+    ]
+
+
+def test_page_signals_merge_golden(spark):
+    """pagesignals_test.go:116-148: 11,s=1111111 | 22,Q72 | 22,s=830167 |
+    333,Q3 → pages without an entity dropped."""
+    tagged = spark.createDataFrame(
+        [
+            (11, None, 1111111, None, None, None),
+            (22, "Q72", None, None, None, None),
+            (22, None, 830167, None, None, None),
+            (333, "Q3", None, None, None, None),
+        ],
+        "page_id long, item string, wikitext_bytes long, claims long, "
+        "identifiers long, sitelinks long",
+    )
+    got = {
+        r.page_id: (r.item, r.wikitext_bytes)
+        for r in page_signals_merge(tagged).collect()
+    }
+    assert got == {22: ("Q72", 830167), 333: ("Q3", None)}
+
+
+def test_qviews_monthly_golden(spark):
+    sitelinks = spark.createDataFrame(
+        [("am.wikipedia/ዙሪክ", "Q72"), ("az.wikipedia/sürix", "Q72")],
+        "page_key string, item string",
+    )
+    pv = spark.createDataFrame(
+        [("am.wikipedia/ዙሪክ", 8), ("az.wikipedia/sürix", 5), ("xx.wikipedia/y", 3)],
+        "page_key string, views long",
+    )
+    got = {r.item_id: r.views for r in qviews_monthly(sitelinks, pv).collect()}
+    assert got == {72: 13}
+
+
+def test_qrank_csv_sink(spark, tmp_path):
+    qrank = spark.createDataFrame(
+        [("Q4", 77, 1), ("Q2", 42, 2), ("Q5", 42, 3), ("Q1", 1, 4), ("Q3", 1, 5)],
+        "item string, views long, rank long",
+    )
+    out = str(tmp_path / "qrank_csv")
+    write_qrank_csv(qrank, out)
+    (csv_file,) = glob.glob(out + "/part-*.csv.gz")
+    lines = gzip.open(csv_file, "rt").read().splitlines()
+    assert lines == ["Entity,QRank", "Q4,77", "Q2,42", "Q5,42", "Q1,1", "Q3,1"]
+
+
+def test_item_signals_csv_sink(spark, tmp_path):
+    sig = spark.createDataFrame(
+        [(72, "Q72", 5585, 3142, 550, 85, 186), (5296, "Q5296", 314159267, 2872, 0, 0, 0)],
+        "item_id long, item string, pageviews_52w long, wikitext_bytes long, "
+        "claims long, identifiers long, sitelinks long",
+    )
+    out = str(tmp_path / "sig_csv")
+    write_item_signals_csv(sig, out)
+    (csv_file,) = glob.glob(out + "/part-*.csv.gz")
+    lines = gzip.open(csv_file, "rt").read().splitlines()
+    assert lines[0] == "item,pageviews_52w,wikitext_bytes,claims,identifiers,sitelinks"
+    assert lines[1] == "Q72,5585,3142,550,85,186"
+    assert lines[2] == "Q5296,314159267,2872,0,0,0"
+
+
+def test_links_schema_a_golden(spark):
+    """pagelinks_test.go:17-77 (rmwiki, pl_title schema) incl. namespace
+    prefixing of (1,4,'Bainvegni') → 'Wikipedia:Bainvegni'."""
+    page_items = spark.createDataFrame(
+        [(1, 5296), (3824, 662541), (799, 72)], "page_id long, item_id long"
+    )
+    titles = spark.createDataFrame(
+        [("Chantun_Turitg", 11943), ("Flum", 4022), ("Lai_da_Turitg", 14407),
+         ("Turitg", 72), ("Wikipedia:Bainvegni", 17596642)],
+        "title string, item_id long",
+    )
+    redirects = spark.createDataFrame([("Zürich", 72)], "title string, item_id long")
+    namespaces = spark.createDataFrame(
+        [(0, ""), (4, "Wikipedia")], "ns_id int, localized string"
+    )
+    pagelinks = spark.createDataFrame(
+        [(1, 4, "Bainvegni"), (3824, 0, "Zürich"), (4689, 0, "1._avuost"),
+         (799, 0, "Chantun_Turitg"), (799, 0, "Flum"), (799, 0, "Lai_da_Turitg"),
+         (799, 0, "Turitg")],
+        "from_page long, namespace int, title string",
+    )
+    from wikidata_qrank_spark.operators.wiki import links_from_pagelinks
+
+    got = sorted(
+        (r.src_id, r.dst_id)
+        for r in links_from_pagelinks(
+            page_items, titles.unionByName(redirects), namespaces, pagelinks_a=pagelinks
+        ).collect()
+    )
+    assert got == [(72, 4022), (72, 11943), (72, 14407), (5296, 17596642), (662541, 72)]
+
+
+def test_links_schema_b_golden(spark):
+    """pagelinks_test.go:81-138 (itwikibooks, pl_target_id + linktarget)."""
+    page_items = spark.createDataFrame(
+        [(54321, 54321), (54322, 54322), (123456, 8681970)],
+        "page_id long, item_id long",
+    )
+    titles = spark.createDataFrame(
+        [("Allegra,_allegra", 54321), ("Categoria:Testi_in_romancio", 8681970)],
+        "title string, item_id long",
+    )
+    redirects = spark.createDataFrame(
+        [("In_chaschiel_ed_ina_nursa", 54322)], "title string, item_id long"
+    )
+    pagelinks_b = spark.createDataFrame(
+        [(1768, 301), (123456, 374), (123456, 375)], "from_page long, target_id long"
+    )
+    linktarget = spark.createDataFrame(
+        [(374, 0, "Allegra,_allegra"), (375, 0, "In_chaschiel_ed_ina_nursa")],
+        "lt_id long, namespace int, title string",
+    )
+    namespaces = spark.createDataFrame([(0, "")], "ns_id int, localized string")
+    from wikidata_qrank_spark.operators.wiki import links_from_pagelinks
+
+    got = sorted(
+        (r.src_id, r.dst_id)
+        for r in links_from_pagelinks(
+            page_items, titles.unionByName(redirects), namespaces,
+            pagelinks_b=pagelinks_b, linktarget=linktarget
+        ).collect()
+    )
+    assert got == [(8681970, 54321), (8681970, 54322)]

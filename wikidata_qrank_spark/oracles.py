@@ -134,6 +134,21 @@ WHERE next_id IS NOT NULL AND next_id <> item_id
 # Arrow mention kernel computes the identical relation → same oracle
 ORACLES["kg_text_mentions_arrow"] = ORACLES["kg_text_mentions"]
 
+# fused Arrow build kernel — identical results, different physical plan
+ORACLES["kg_qviews_fused"] = ORACLES["kg_qviews"]
+ORACLES["kg_triples_fused"] = kg_sql("""
+SELECT DISTINCT 'Q' || CAST(item_id AS VARCHAR) AS subj,
+       'links_to' AS pred,
+       'Q' || CAST(next_id AS VARCHAR) AS obj,
+       item_id AS src_id, next_id AS dst_id
+FROM (
+  SELECT item_id,
+         lead(item_id) OVER (PARTITION BY doc_id ORDER BY "offset") AS next_id
+  FROM tmentions
+)
+WHERE next_id IS NOT NULL AND next_id <> item_id
+""")
+
 ORACLES["kg_item_signals"] = kg_sql(
     """
 , per_doc AS (
