@@ -60,3 +60,15 @@ def test_parse_item():
     assert parse_item("Q") is None
     assert parse_item("X72") is None
     assert parse_item("Q72x") is None
+
+
+def test_iso_week():
+    from wikidata_qrank_spark.functions.normalize import iso_week_start, parse_iso_week
+
+    assert parse_iso_week("2023-W07") == (2023, 7)
+    assert iso_week_start(2023, 7).isoformat() == "2023-02-13"
+    assert iso_week_start(2011, 7).isoformat() == "2011-02-14"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_iso_week("2023W07")

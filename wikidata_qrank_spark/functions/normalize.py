@@ -156,3 +156,20 @@ def decode_domain(col):
     """Column expr: 'gro.aidepikiw.mr.' → 'rm.wikipedia.org'
     (wikisites.go:197-204): strip trailing dot, reverse."""
     return F.reverse(F.regexp_replace(col, r"\.$", ""))
+
+
+def parse_iso_week(s: str) -> tuple[int, int]:
+    """'2023-W07' → (2023, 7) (util.go:410-420 ParseISOWeek)."""
+    import re as _re
+
+    m = _re.match(r"^(\d{4})-W(\d{2})$", s or "")
+    if not m:
+        raise ValueError(f"not an ISO week: {s!r}")
+    return int(m.group(1)), int(m.group(2))
+
+
+def iso_week_start(year: int, week: int):
+    """Monday of the given ISO week (util.go:423-435 ISOWeekStart)."""
+    from datetime import date as _date
+
+    return _date.fromisocalendar(year, week, 1)
