@@ -31,9 +31,13 @@ def build_graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Construct every output of the pipeline as lazy DataFrames."""
     documents = load_table(spark, sf_dir, "documents")
     sp = spans(documents)
-    raw_dict = dictionary(documents)
+    # persist the (tiny) dictionary: without it, Catalyst replicates the
+    # dictionary subtree — corpus scan + distinct + rank window + the 8
+    # redirect-resolution joins — once per broadcast use (9× per query,
+    # observed in the physical plan). The cache is |vocab| rows.
+    raw_dict = dictionary(documents).persist()
     red = redirects(raw_dict)
-    cdict = canonical_dictionary(raw_dict, red)
+    cdict = canonical_dictionary(raw_dict, red).persist()
 
     tm = text_mentions(sp, cdict)
     mm = media_mentions(sp, cdict)
