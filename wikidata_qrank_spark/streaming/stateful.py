@@ -1,0 +1,65 @@
+"""Custom stateful streaming operator: first-seen dedup.
+
+The reference is batch-only; its dedup (consecutive-duplicate drop over
+sorted files, links.go:60-77) has a streaming generalization: emit each
+key the first time it is seen across micro-batches, suppress all later
+occurrences. Implemented with ``applyInPandasWithState`` — per-key state
+holds one flag; arbitrary late duplicates are suppressed for the
+lifetime of the state.
+
+At scale: state is partitioned by key across executors by Structured
+Streaming's state store; memory per key is O(1). For corpus dedup the
+key is the content fingerprint (dedup.content_fingerprint), giving a
+streaming exact-dedup of a document feed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def first_seen_dedup(
+    grouped,
+    output_schema: str,
+    value_cols: list[str],
+):
+    """Apply first-seen dedup to a ``GroupedData`` of a streaming
+    DataFrame grouped by the dedup key.
+
+    Emits one row per key — the minimum of ``value_cols[0]`` tiebreak
+    within the first micro-batch containing the key (deterministic).
+
+    ``output_schema`` must be ``<key cols>, <value_cols>`` DDL matching
+    the emitted frame.
+    """
+
+    out_names = [c.strip().split(" ")[0] for c in output_schema.split(",")]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            head = pdf.sort_values(value_cols[0]).head(1)
+            if first is None or head[value_cols[0]].iloc[0] < first[value_cols[0]].iloc[0]:
+                first = head
+        if first is None:
+            return
+        state.update((1,))
+        data = {name: [k] for name, k in zip(out_names, key)}
+        for name, col in zip(out_names[len(key):], value_cols):
+            data[name] = [first[col].iloc[0]]
+        yield pd.DataFrame(data)
+
+    return grouped.applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
