@@ -173,6 +173,20 @@ def _td_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 16), k=5)
 
 
+def _td_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.dedup import embedding_near_dups
+
+    emb = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 120)
+    return embedding_near_dups(emb, threshold=0.3, exact=True)
+
+
+def _td_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.dedup import embedding_near_dups
+
+    emb = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 120)
+    return embedding_near_dups(emb, threshold=0.3)
+
+
 def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.operators.multimodal import extract_features, media_table
     from wikidata_qrank_spark.sources.interleaved import spans
@@ -204,6 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_minhash_pairs"] = _td_minhash_pairs
     out["td_simhash_pairs"] = _td_simhash_pairs
     out["td_ann_topk"] = _td_ann_topk
+    out["td_embedding_near_dups"] = _td_embedding_near_dups
+    out["td_embedding_near_dups_lsh"] = _td_embedding_near_dups_lsh
     out["td_lsh_ann"] = _td_lsh_ann
     out["td_ivf_ann"] = _td_ivf_ann
     out["mm_media_features"] = _mm_media_features

@@ -294,3 +294,45 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ------------------------------------------------- embedding near-dups
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 4,
+    num_tables: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine ≥ threshold.
+
+    Scale path (default): hyperplane-LSH buckets generate candidates
+    (same-bucket in any table), exact cosine verifies — corpus shuffles
+    only on (table, bucket). ``exact=True`` switches to the full
+    pairwise cross join (the verification kernel / oracle shape; O(n²),
+    small inputs only).
+    """
+    from ..functions.precision import round6
+    from .similarity import _dot, _norm, lsh_bucket
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = None
+        for t in range(num_tables):
+            ab = a.withColumn("bucket", lsh_bucket(a, "va", nbits, t + 1))
+            bb = b.withColumn("bucket", lsh_bucket(b, "vb", nbits, t + 1))
+            pairs = ab.join(bb, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket")
+            cand = pairs if cand is None else cand.unionByName(pairs)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+    scored = cand.withColumn(
+        "cosine",
+        round6(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))),
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

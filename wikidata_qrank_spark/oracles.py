@@ -352,3 +352,21 @@ SELECT date_trunc('hour', ts) AS window_start,
 FROM events
 GROUP BY 1, 2
 """
+
+
+ORACLES["td_embedding_near_dups"] = """
+WITH v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 120),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         floor(
+           list_sum(list_transform(generate_series(1, len(a.e)),
+                                   i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(a.e)),
+                                   i -> CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(b.e)),
+                                   i -> CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))))
+           * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM v a, v b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+"""
