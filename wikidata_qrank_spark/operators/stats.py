@@ -40,7 +40,10 @@ def build_stats_from_rows(
     for item_id, value in rows:
         rank += 1
         if rank == 1:
-            scale_y = float(num_samples) / math.log10(float(value))
+            top_log = math.log10(float(value))
+            # Go float semantics: x/0 → +Inf (max value 1 → log10 = 0);
+            # downstream 0×Inf → NaN → 'near' comparisons are False
+            scale_y = float(num_samples) / top_log if top_log != 0.0 else math.inf
         x = rank * scale_x
         y = math.log10(float(value)) * scale_y if value > 0 else 0.0
         distance = (x - last_x) ** 2 + (y - last_y) ** 2

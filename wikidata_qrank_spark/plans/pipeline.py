@@ -56,3 +56,39 @@ def build_graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "triples": triples(tm),
         "item_signals": item_signals(tm, mm, documents, cdict),
     }
+
+
+def run_full_build(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    version=None,
+    code_version: str = "v1",
+) -> dict:
+    """The complete build a reference user would run: checkpointed KG
+    pipeline → stats → published public artifacts (qrank CSV,
+    item_signals CSV, stats JSON) with latest-artifact resolution.
+    Re-running with fresh checkpoints skips every compute stage.
+
+    Returns {'outputs': basename→path, 'metrics': per-stage metrics,
+    'stats': the stats dict}.
+    """
+    from datetime import date
+
+    from ..operators.stats import build_stats
+    from .checkpoint import LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL, build_checkpointed
+    from .publish import publish
+
+    g = build_checkpointed(spark, sf_dir, checkpoint_dir, code_version=code_version)
+    qrank_df = g["qrank"].drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL)
+    signals_df = g["item_signals"].drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL)
+    stats = build_stats(qrank_df, top_n=50, num_samples=1000)
+    outputs = publish(
+        out_dir,
+        version or date.today(),
+        qrank_df=qrank_df,
+        item_signals_df=signals_df,
+        stats=stats,
+    )
+    return {"outputs": outputs, "metrics": g["manager"].metrics(), "stats": stats}
