@@ -324,10 +324,11 @@ def embedding_near_dups(
     if exact:
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
+        dim = len(a.select("va").first()[0])
         cand = None
         for t in range(num_tables):
-            ab = a.withColumn("bucket", lsh_bucket(a, "va", nbits, t + 1))
-            bb = b.withColumn("bucket", lsh_bucket(b, "vb", nbits, t + 1))
+            ab = a.withColumn("bucket", lsh_bucket(a, "va", nbits, t + 1, dim))
+            bb = b.withColumn("bucket", lsh_bucket(b, "vb", nbits, t + 1, dim))
             pairs = ab.join(bb, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket")
             cand = pairs if cand is None else cand.unionByName(pairs)
         cand = cand.dropDuplicates(["id_a", "id_b"])

@@ -93,9 +93,12 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return [v / n for v in vals]
 
 
-def lsh_bucket(df: DataFrame, vec_col: str, nbits: int, table_seed: int):
-    """Signed random-projection bucket id (0..2^nbits-1) as a column."""
-    dim = len(df.select(vec_col).first()[0])
+def lsh_bucket(df: DataFrame, vec_col: str, nbits: int, table_seed: int, dim: int | None = None):
+    """Signed random-projection bucket id (0..2^nbits-1) as a column.
+    Pass ``dim`` to avoid a driver action per call (callers looping over
+    hash tables should probe the dimension once)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     expr = F.lit(0).cast("long")
     for bit in range(nbits):
         plane = F.array(
@@ -120,10 +123,11 @@ def lsh_bucketed_topk(
     never fans out beyond its buckets."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    dim = len(c.select("c_vec").first()[0])
     cand = None
     for t in range(num_tables):
-        cb = c.withColumn("bucket", lsh_bucket(c, "c_vec", nbits, t + 1))
-        qb = q.withColumn("bucket", lsh_bucket(q, "q_vec", nbits, t + 1))
+        cb = c.withColumn("bucket", lsh_bucket(c, "c_vec", nbits, t + 1, dim))
+        qb = q.withColumn("bucket", lsh_bucket(q, "q_vec", nbits, t + 1, dim))
         pairs = cb.join(F.broadcast(qb), "bucket").drop("bucket")
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.filter(F.col("neighbor_id") != F.col("query_id")).dropDuplicates(
