@@ -190,13 +190,39 @@ def run_scaled_build(cpus: int, corpus_dir: str, sf_dir: str, trials: int = 3) -
             "n_docs": n, "cpus": cpus}
 
 
+def cpu_control(cpus: int) -> float:
+    """Pure-CPU control job (range scan + xxhash + bit_xor, no shuffle,
+    no IO): measures how well ANY cpu-bound Spark job can scale at this
+    width on this host. Reported alongside the pipeline numbers so
+    hardware ceilings are distinguishable from plan defects."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.session import get_session
+
+    spark = get_session(f"control-{cpus}", cpus=cpus)
+    job = lambda n: spark.range(0, n, 1, cpus * 2).select(
+        F.bit_xor(F.xxhash64(F.col("id"), F.col("id") + 1, F.col("id") * 3))
+    ).collect()
+    job(10**7)
+    walls = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        job(2 * 10**9)
+        walls.append(_time.perf_counter() - t0)
+    spark.stop()
+    return min(walls)
+
+
 def _run_level_pinned(cpus: int, corpus_dir: str) -> dict:
     """Subprocess pinned to `cpus` CPUs running one level."""
     code = (
         "import os, sys, json; os.sched_setaffinity(0, set(range({c})));"
         "sys.path.insert(0, {root!r});"
-        "import bench; print('LEVEL ' + json.dumps("
-        "bench.run_scaled_build({c}, {corpus!r}, {sf!r})))"
+        "import bench; r = bench.run_scaled_build({c}, {corpus!r}, {sf!r});"
+        "r['control_wall_sec'] = round(bench.cpu_control({c}), 3);"
+        "print('LEVEL ' + json.dumps(r))"
     ).format(c=cpus, root=os.path.dirname(os.path.abspath(__file__)),
              corpus=corpus_dir, sf=SF_DIR)
     out = subprocess.run(
@@ -223,6 +249,7 @@ def scaling_mode() -> None:
     tp_n = docs / r_n["wall_sec"]
     tp_4n = docs / r_4n["wall_sec"]
     eff = (tp_4n / tp_n) / (n4 / n)
+    ctrl_eff = (r_n["control_wall_sec"] / r_4n["control_wall_sec"]) / (n4 / n)
     print(
         json.dumps(
             {
@@ -239,6 +266,9 @@ def scaling_mode() -> None:
                 "throughput_4n": round(tp_4n, 1),
                 "speedup": round(tp_4n / tp_n, 3),
                 "scaling_efficiency": round(eff, 3),
+                "control_wall_n_sec": r_n["control_wall_sec"],
+                "control_wall_4n_sec": r_4n["control_wall_sec"],
+                "control_efficiency": round(ctrl_eff, 3),
                 "sf": _sf_label(SF_DIR),
                 "replication": BENCH_REPL,
             }
