@@ -194,6 +194,36 @@ def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_table(spans(_documents(spark, sf_dir))))
 
 
+def _wiki_item_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.derived_wiki import wiki_item_signals
+
+    return wiki_item_signals(spark, sf_dir)
+
+
+def _wiki_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.derived_wiki import wiki_links
+
+    return wiki_links(spark, sf_dir)
+
+
+def _an_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import pricing_summary
+
+    return pricing_summary(spark, sf_dir)
+
+
+def _an_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import revenue_by_nation
+
+    return revenue_by_nation(spark, sf_dir)
+
+
+def _an_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import top_orders_per_customer
+
+    return top_orders_per_customer(spark, sf_dir, k=3)
+
+
 def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.sources.tables import load_table
     from wikidata_qrank_spark.streaming.events import windowed_event_counts
@@ -224,6 +254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_ivf_ann"] = _td_ivf_ann
     out["mm_media_features"] = _mm_media_features
     out["ev_windowed_counts"] = _ev_windowed_counts
+    out["wiki_item_signals"] = _wiki_item_signals
+    out["wiki_links"] = _wiki_links
+    out["an_pricing_summary"] = _an_pricing_summary
+    out["an_revenue_by_nation"] = _an_revenue_by_nation
+    out["an_top_orders"] = _an_top_orders
     return out
 
 

@@ -18,24 +18,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def max_chain_length(redirects_df: DataFrame, cap: int = 16) -> int:
+    """Length of the longest redirect chain, computed on the (tiny)
+    edge table itself: iterate alias→target substitution until no
+    composite edge remains. Each round is a self-join of the dimension
+    table — O(edges), never touches the corpus."""
+    edges = redirects_df.select(
+        F.col("alias_id").alias("a"), F.col("target_id").alias("t")
+    )
+    frontier = edges
+    for i in range(1, cap + 1):
+        nxt = frontier.alias("f").join(
+            edges.alias("e"), F.col("f.t") == F.col("e.a"), "inner"
+        )
+        if nxt.isEmpty():
+            return i
+        frontier = nxt.select(F.col("f.a").alias("a"), F.col("e.t").alias("t"))
+    return cap
+
+
 def resolve_redirects(
     df: DataFrame,
     redirects_df: DataFrame,
     id_col: str = "item_id",
-    max_iters: int = 8,
+    max_iters: int | None = None,
 ) -> DataFrame:
     """Rewrite ``id_col`` to its canonical id by following redirect
-    edges (alias_id → target_id) to a fixpoint, ≤ ``max_iters`` hops.
+    edges (alias_id → target_id) to a fixpoint.
 
     Self-contained per round: left-join on the alias side, coalesce.
-    If a chain is longer than max_iters the remaining alias id is kept
-    (same forgiving behavior as the reference's bounded interwiki loop).
+    The round count defaults to the longest chain in the redirect table
+    (computed on the dimension side — no wasted no-op corpus joins);
+    pass ``max_iters`` to bound it explicitly, in which case longer
+    chains keep their remaining alias id (the reference's forgiving
+    bounded interwiki loop behavior).
     """
+    rounds = max_iters if max_iters is not None else max_chain_length(redirects_df)
     edges = redirects_df.select(
         F.col("alias_id").alias("__alias"), F.col("target_id").alias("__target")
     )
     out = df
-    for _ in range(max_iters):
+    for _ in range(rounds):
         out = (
             out.join(F.broadcast(edges), out[id_col] == edges["__alias"], "left")
             .withColumn(id_col, F.coalesce(F.col("__target"), F.col(id_col)))

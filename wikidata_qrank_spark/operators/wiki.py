@@ -199,13 +199,17 @@ def links_from_pagelinks(
             ).otherwise(F.col("title")),
         ).drop("__ns_prefix")
 
+    # page_items/targets are page-dimension-sized (tens of millions at
+    # production scale) — no broadcast hint; Catalyst/AQE picks
+    # broadcast vs shuffle join from actual sizes
     edges = (
         links.join(
-            F.broadcast(page_items.select(F.col("page_id").alias("from_page"),
-                                          F.col("item_id").alias("src_id"))),
+            page_items.select(
+                F.col("page_id").alias("from_page"), F.col("item_id").alias("src_id")
+            ),
             "from_page",
         )
-        .join(F.broadcast(targets.withColumnRenamed("item_id", "dst_id")), "title")
+        .join(targets.withColumnRenamed("item_id", "dst_id"), "title")
         .filter(F.col("src_id") != F.col("dst_id"))
         .dropDuplicates(["src_id", "dst_id"])
     )

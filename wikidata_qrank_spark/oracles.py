@@ -370,3 +370,113 @@ scored AS (
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
 """
+
+
+# ---- wiki-shaped derived tables (J10/A7 + J7 at data scale) ------------
+
+ORACLES["wiki_item_signals"] = """
+WITH ps AS (
+  SELECT 'w' || CAST(p_partkey % 3 AS VARCHAR) AS wiki,
+         p_partkey AS page_id,
+         'Q' || CAST(1 + p_partkey % 500 AS VARCHAR) AS item,
+         CAST(p_size AS BIGINT) AS wikitext_bytes,
+         CAST(p_partkey % 7 AS BIGINT) AS claims,
+         CAST(p_partkey % 5 AS BIGINT) AS identifiers,
+         CAST(p_partkey % 11 AS BIGINT) AS sitelinks
+  FROM part
+),
+wv AS (
+  SELECT 'w' || CAST(l_partkey % 3 AS VARCHAR) AS wiki,
+         l_partkey AS page_id,
+         CAST(floor(l_quantity) AS BIGINT) AS views
+  FROM lineitem
+),
+vpp AS (
+  SELECT wiki, page_id, CAST(sum(views) AS BIGINT) AS views
+  FROM wv GROUP BY wiki, page_id
+)
+SELECT p.item,
+       CAST(sum(COALESCE(v.views, 0)) AS BIGINT) AS pageviews_52w,
+       CAST(sum(COALESCE(p.wikitext_bytes, 0)) AS BIGINT) AS wikitext_bytes,
+       CAST(sum(COALESCE(p.claims, 0)) AS BIGINT) AS claims,
+       CAST(sum(COALESCE(p.identifiers, 0)) AS BIGINT) AS identifiers,
+       CAST(sum(COALESCE(p.sitelinks, 0)) AS BIGINT) AS sitelinks
+FROM ps p LEFT JOIN vpp v ON p.wiki = v.wiki AND p.page_id = v.page_id
+GROUP BY p.item
+"""
+
+ORACLES["wiki_links"] = """
+WITH page_items AS (
+  SELECT p_partkey AS page_id, CAST(1 + p_partkey % 211 AS BIGINT) AS item_id
+  FROM part
+),
+targets AS (
+  SELECT 'T' || CAST(s_suppkey AS VARCHAR) AS title,
+         CAST(s_suppkey % 97 AS BIGINT) AS item_id
+  FROM supplier
+  UNION ALL
+  SELECT 'R' || CAST(c_custkey AS VARCHAR),
+         CAST(c_custkey % 97 AS BIGINT)
+  FROM customer
+),
+pl AS (
+  SELECT l_partkey AS from_page,
+         CAST(l_linenumber % 2 AS INT) AS namespace,
+         CASE WHEN l_orderkey % 4 = 0
+              THEN 'R' || CAST(1 + l_suppkey % 1500 AS VARCHAR)
+              ELSE 'T' || CAST(l_suppkey AS VARCHAR) END AS title
+  FROM lineitem
+),
+prefixed AS (
+  SELECT from_page,
+         CASE WHEN namespace <> 0 THEN 'NS:' || title ELSE title END AS title
+  FROM pl
+),
+edges AS (
+  SELECT DISTINCT pi.item_id AS src_id, t.item_id AS dst_id
+  FROM prefixed l
+  JOIN page_items pi ON l.from_page = pi.page_id
+  JOIN targets t ON l.title = t.title
+  WHERE pi.item_id <> t.item_id
+)
+SELECT 'Q' || CAST(src_id AS VARCHAR) AS subj,
+       'links_to' AS pred,
+       'Q' || CAST(dst_id AS VARCHAR) AS obj,
+       src_id, dst_id
+FROM edges
+"""
+
+# ---- general analytics -------------------------------------------------
+
+ORACLES["an_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_u,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["an_revenue_by_nation"] = """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+ORACLES["an_top_orders"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+       CAST(row_number() OVER (
+         PARTITION BY o_custkey
+         ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey ASC
+       ) AS BIGINT) AS order_rank
+FROM orders
+QUALIFY order_rank <= 3
+"""

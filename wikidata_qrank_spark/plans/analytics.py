@@ -1,0 +1,74 @@
+"""General analytics demos over the TPC-H-ish tables — shows the engine
+is a general query layer, not only the KG pipeline. Money amounts are
+aggregated in exact integer cents (floor(x*100 + 0.5)) so results are
+bit-stable across engines (see functions/precision.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def _cents(col, scale: int = 100):
+    return F.floor(col * scale + F.lit(0.5)).cast("long")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 semantics (quantities/amounts in exact centi-units)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue_units = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(revenue_units).alias("sum_disc_price_u"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem ⋈ nation, revenue per nation —
+    broadcast dims, corpus-side fact joins."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    revenue_units = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue_units).alias("revenue_u"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def top_orders_per_customer(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Window demo: per-customer top-k orders by price (cents), rank
+    tiebreak by orderkey — deterministic under the value hash."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        cents.desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("price_c", cents)
+        .withColumn("order_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("order_rank") <= k)
+        .select("o_custkey", "o_orderkey", "price_c", "order_rank")
+    )
