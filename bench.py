@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_scaling.json")
 
 
 def _sf_label(sf_dir: str) -> float:
@@ -250,7 +251,7 @@ def scaling_mode() -> None:
     tp_4n = docs / r_4n["wall_sec"]
     eff = (tp_4n / tp_n) / (n4 / n)
     ctrl_eff = (r_n["control_wall_sec"] / r_4n["control_wall_sec"]) / (n4 / n)
-    print(
+    result = (
         json.dumps(
             {
                 "metric": "kg_build_scaling",
@@ -274,6 +275,9 @@ def scaling_mode() -> None:
             }
         )
     )
+    with open(SCALING_CACHE, "w") as f:
+        f.write(result)
+    print(result)
 
 
 def main() -> None:
@@ -285,19 +289,23 @@ def main() -> None:
     else:
         cpus = CPUS
     res = run_queries(cpus, SF_DIR)
-    print(
-        json.dumps(
-            {
-                "metric": "kg_build_wall_sec",
-                "value": res["total_sec"],
-                "unit": "sec",
-                "queries": res["queries"],
-                "sf": _sf_label(SF_DIR),
-                "n_docs": res["n_docs"],
-                "cpus": cpus,
-            }
-        )
-    )
+    payload = {
+        "metric": "kg_build_wall_sec",
+        "value": res["total_sec"],
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": _sf_label(SF_DIR),
+        "n_docs": res["n_docs"],
+        "cpus": cpus,
+    }
+    # attach the most recent --scaling measurement (bench.py --scaling
+    # writes it; see BENCH.md for methodology)
+    try:
+        with open(SCALING_CACHE) as f:
+            payload["scaling"] = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

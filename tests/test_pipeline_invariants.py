@@ -80,3 +80,29 @@ def test_qviews_totals_conserved(spark):
     total_mentions = g["text_mentions"].count()
     total_views = g["qviews"].agg(F.sum("views")).collect()[0][0]
     assert total_mentions == total_views
+
+
+def test_pipeline_from_real_interleaved_table(spark, tmp_path):
+    """The engine consumes an actual nested interleaved table (the
+    input_hint shape) and produces identical results to the derived
+    span path — a user with a real interleaved Iceberg/parquet corpus
+    plugs in at spans_from_interleaved."""
+    from wikidata_qrank_spark.operators.qrank import qviews
+    from wikidata_qrank_spark.sources.interleaved import spans_from_interleaved
+
+    documents = load_table(spark, SF_SMOKE, "documents")
+    nested_path = str(tmp_path / "interleaved")
+    docs_with_spans(documents).write.parquet(nested_path)
+    nested = spark.read.parquet(nested_path)
+
+    d = dictionary(documents)
+    cdict = canonical_dictionary(d, redirects(d))
+
+    via_nested = text_mentions(spans_from_interleaved(nested), cdict)
+    via_derived = text_mentions(spans(documents), cdict)
+    assert via_nested.exceptAll(via_derived).count() == 0
+    assert via_derived.exceptAll(via_nested).count() == 0
+
+    qv_nested = {(r.item_id, r.views) for r in qviews(via_nested).collect()}
+    qv_derived = {(r.item_id, r.views) for r in qviews(via_derived).collect()}
+    assert qv_nested == qv_derived

@@ -129,3 +129,20 @@ def redirects(dict_df: DataFrame) -> DataFrame:
             (F.col("item_id") - 1).cast("long").alias("target_id"),
         )
     )
+
+
+def spans_from_interleaved(docs_nested: DataFrame) -> DataFrame:
+    """Exploded span view from a REAL interleaved table of the
+    input_hint shape (doc_id, spans array<struct<kind,text,media_ref,
+    offset>>) — the inverse of ``docs_with_spans``. The engine's
+    operators consume this exploded form, so a deployment whose corpus
+    is already interleaved plugs in here and skips the derivation."""
+    return docs_nested.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
