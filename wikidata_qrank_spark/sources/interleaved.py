@@ -26,16 +26,21 @@ every downstream operator. Derivation rule (fixed, seedless):
   redirect-chain canonicalization (pagelinks.go:210-311 semantics)
 
 Scale notes: the vocabulary/dictionary is tiny relative to the corpus
-(exactly like real sitelinks vs pageview logs), so the single-partition
-``row_number`` window on the *distinct vocabulary* is deliberate — it
-runs over |V| rows, not the corpus; the corpus-side tokenize/explode is
+(exactly like real sitelinks vs pageview logs), but the alphabetical
+rank over it still uses the two-phase ``global_row_number`` (range
+shuffle + local row_number + broadcast offsets) rather than an
+unpartitioned window — the derivation path has NO single-task stage,
+so it holds even if a deployment derives its dictionary from a
+corpus-sized vocabulary. The corpus-side tokenize/explode is
 embarrassingly parallel and never shuffles until the mention join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..operators.rank import global_row_number
 
 # fraction of the offset cycle that is media spans: offset % MEDIA_MOD == MEDIA_PHASE
 MEDIA_MOD = 7
@@ -104,12 +109,10 @@ def dictionary(documents: DataFrame) -> DataFrame:
         .filter(F.length("title") >= MIN_TITLE_LEN)
         .distinct()
     )
-    w = Window.orderBy("title")
-    ranked = vocab.select(
-        "title",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
-    )
+    total = vocab.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ranked = global_row_number(
+        vocab, [F.col("title").asc()], rank_col="rn"
+    ).crossJoin(F.broadcast(total))
     return ranked.select(
         "title",
         (1 + (F.col("rn") - 1) % (1 + F.expr("cnt * 4 div 5"))).cast("long").alias(
