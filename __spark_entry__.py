@@ -62,9 +62,29 @@ def _kg_text_mentions_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_docs_with_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested input_hint packing, projected to a gate-stable canonical
+    string per document: the span sequence (kind, text, media_ref,
+    offset) joined in offset order — i.e. exactly the per-row
+    span-sequence-equality invariant, in a shape the oracle harness can
+    sort and hash (its pandas canonicalizer cannot hash raw arrays)."""
     from wikidata_qrank_spark.sources.interleaved import docs_with_spans
 
-    return docs_with_spans(_documents(spark, sf_dir))
+    nested = docs_with_spans(_documents(spark, sf_dir))
+    span_str = F.transform(
+        F.col("spans"),
+        lambda s: F.concat_ws(
+            ",",
+            s["kind"],
+            F.coalesce(s["text"], F.lit("")),
+            F.coalesce(s["media_ref"], F.lit("")),
+            s["offset"].cast("string"),
+        ),
+    )
+    return nested.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.concat_ws("|", span_str).alias("span_seq"),
+    )
 
 
 def _fused_combined(spark: SparkSession, sf_dir: str):
@@ -135,15 +155,20 @@ def _td_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _td_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 hash family: same banded-LSH plan as the xxhash64 scale path
+    (which tests/test_dedup.py exercises), but value-checkable by the
+    DuckDB oracle."""
     from wikidata_qrank_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_documents(spark, sf_dir))
+    return minhash_lsh_pairs(_documents(spark, sf_dir), hash_family="md5")
 
 
 def _td_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from wikidata_qrank_spark.operators.dedup import simhash_near_pairs
+    """md5-family band-key simhash — deterministic pigeonhole output,
+    value-checked by the oracle (xxhash64 form stays pytest-covered)."""
+    from wikidata_qrank_spark.operators.dedup import simhash_near_pairs_portable
 
-    return simhash_near_pairs(_documents(spark, sf_dir), max_hamming=3)
+    return simhash_near_pairs_portable(_documents(spark, sf_dir), max_hamming=3)
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,10 +213,26 @@ def _td_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow decode plumbing, projected gate-stable: the binary payload
+    is dropped and the array<float> feature becomes 8 rounded double
+    columns (the deterministic fake decode is byte[i]/255 over the
+    utf-8 payload, which the oracle reproduces with ord() — the corpus
+    tokens are ASCII, so byte i == code point i)."""
+    from wikidata_qrank_spark.functions.precision import round6
     from wikidata_qrank_spark.operators.multimodal import extract_features, media_table
     from wikidata_qrank_spark.sources.interleaved import spans
 
-    return extract_features(media_table(spans(_documents(spark, sf_dir))))
+    feats = extract_features(media_table(spans(_documents(spark, sf_dir))))
+    return feats.select(
+        "doc_id",
+        "offset",
+        "media_ref",
+        "decoded_ok",
+        *[
+            round6(F.element_at("feature", i + 1).cast("double")).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
 
 
 def _wiki_item_signals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,3 +70,55 @@ def test_minhash_is_deterministic(spark):
     a = {tuple(r) for r in minhash_lsh_pairs(_docs(spark)).collect()}
     b = {tuple(r) for r in minhash_lsh_pairs(_docs(spark)).collect()}
     assert a == b
+
+
+def test_minhash_agg_form_equals_exploded_form(spark):
+    """The single-groupBy min-aggregate signatures (docs×1 shuffle rows)
+    must equal the round-1 posexplode formulation (docs×32 rows)."""
+    from wikidata_qrank_spark.operators.dedup import (
+        _minhash_signatures_exploded,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark)
+    new = {r.doc_id: list(r.sig) for r in minhash_signatures(docs).collect()}
+    old = {r.doc_id: list(r.sig) for r in _minhash_signatures_exploded(docs).collect()}
+    assert new == old
+
+
+def test_minhash_md5_family_finds_near_dups(spark):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(_docs(spark), hash_family="md5").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_portable_matches_pigeonhole_semantics(spark):
+    """Portable band-key simhash: exact dups at hamming 0; unrelated
+    docs absent; symmetric-deterministic across runs."""
+    from wikidata_qrank_spark.operators.dedup import simhash_near_pairs_portable
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs_portable(_docs(spark), max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs
+    again = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs_portable(_docs(spark), max_hamming=3).collect()
+    }
+    assert pairs == again
+
+
+def test_simhash_portable_band_keys_bounded(spark):
+    """Band keys are 16-bit — safe in any SQL engine (no sign-bit play)."""
+    from wikidata_qrank_spark.operators.dedup import simhash_band_keys
+
+    rows = simhash_band_keys(_docs(spark)).collect()
+    for r in rows:
+        for b in range(4):
+            assert 0 <= r[f"k{b}"] < (1 << 16)

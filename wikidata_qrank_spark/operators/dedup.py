@@ -126,17 +126,51 @@ DEFAULT_BANDS = 8
 DEFAULT_ROWS_PER_BAND = 4  # 32 hashes total
 
 
+def _seed_hash(i: int, hash_family: str):
+    """Per-seed shingle hash column. 'xxhash64' (default): JVM-side
+    64-bit ints, fastest. 'md5': fixed-width lowercase hex strings —
+    identical in Spark and DuckDB, so the whole sketch is verifiable by
+    the SQL oracle (lexicographic min on fixed-width hex == numeric min
+    of the 128-bit value)."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(F.col("shingle"), F.lit(i))
+    if hash_family == "md5":
+        return F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
 def minhash_signatures(
     documents: DataFrame,
     text_col: str = "text",
     shingle_n: int = 3,
     num_hashes: int = DEFAULT_BANDS * DEFAULT_ROWS_PER_BAND,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, sig: array<bigint>) minhash signature over word
-    shingles. Hash family: xxhash64(shingle, seed i) — JVM-side,
-    codegen'd. Element-wise array min has no built-in aggregate, so the
-    min per seed goes through posexplode + groupBy(doc_id, i) — shuffle
-    rows = docs × num_hashes (bounded, never moves document text)."""
+    """(doc_id, sig: array) minhash signature over word shingles.
+
+    One ``groupBy(doc_id)`` with ``num_hashes`` min-aggregate columns:
+    partial (map-side) aggregation reduces each task to one row per doc
+    before the exchange, so the shuffle moves docs×1 rows — not the
+    docs×num_hashes rows of the posexplode formulation (which made
+    minhash the slowest bench query in round 1)."""
+    sh = _shingles(documents, text_col, shingle_n)
+    aggs = [
+        F.min(_seed_hash(i, hash_family)).alias(f"__mh{i}") for i in range(num_hashes)
+    ]
+    mins = sh.groupBy("doc_id").agg(*aggs)
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _minhash_signatures_exploded(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = DEFAULT_BANDS * DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """Round-1 posexplode formulation, kept only as the equality witness
+    for tests (same signatures, docs×num_hashes shuffle rows)."""
     sh = _shingles(documents, text_col, shingle_n)
     hashes = F.array(
         *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
@@ -158,6 +192,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over minhash sigs.
 
@@ -165,10 +200,15 @@ def minhash_lsh_pairs(
     docs sharing any band bucket become a candidate pair. Shuffle key =
     (band_id, band_hash): hot buckets are real near-dup clusters, so
     skew here is signal, not pathology.
+
+    ``hash_family='md5'`` makes the whole sketch SQL-portable (band
+    bucket = md5 of the concatenated band mins) so the DuckDB oracle can
+    value-check the candidate set; 'xxhash64' is the faster scale path.
     """
     sig = minhash_signatures(
-        documents, text_col, shingle_n, bands * rows_per_band
+        documents, text_col, shingle_n, bands * rows_per_band, hash_family
     )
+    bucket_hash = F.xxhash64 if hash_family == "xxhash64" else F.md5
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -176,7 +216,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        bucket_hash(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -291,6 +331,87 @@ def simhash_near_pairs(
         cand.withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _md5_bit_vote(h, i: int):
+    """±1 vote for bit i (0..63) of an md5 hex column: nibble i//4
+    (1-based substring), bit i%4. conv() is JVM-side; DuckDB mirrors the
+    nibble with strpos('0123456789abcdef', ...)-1."""
+    nib = F.conv(F.substring(h, i // 4 + 1, 1), 16, 10).cast("int")
+    bit = F.shiftright(nib, i % 4).bitwiseAND(F.lit(1))
+    return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+
+def simhash_band_keys(
+    documents: DataFrame, text_col: str = "text", nbands: int = 4
+) -> DataFrame:
+    """(doc_id, k0..k{nbands-1}): SQL-portable simhash held as ``nbands``
+    band keys of 64/nbands bits each instead of one 64-bit int — no
+    sign-bit assembly in either engine (ANSI-safe), and the banded join
+    needs exactly these keys anyway. Hash family: bits of md5(token),
+    identical in Spark and DuckDB. One groupBy(doc_id) carrying 64 sum
+    partials → the shuffle moves docs×1 rows."""
+    width = 64 // nbands
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    sums = toks.groupBy("doc_id").agg(
+        *[F.sum(_md5_bit_vote(h, i)).alias(f"__s{i}") for i in range(64)]
+    )
+    keys = []
+    for b in range(nbands):
+        expr = F.lit(0)
+        for r in range(width):
+            expr = expr + F.when(
+                F.col(f"__s{b * width + r}") > 0, F.lit(1 << r)
+            ).otherwise(F.lit(0))
+        keys.append(expr.cast("long").alias(f"k{b}"))
+    return sums.select("doc_id", *keys)
+
+
+def simhash_near_pairs_portable(
+    documents: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — same pigeonhole-band algorithm as
+    ``simhash_near_pairs`` but over the md5 hash family with band-key
+    representation, so the DuckDB oracle value-checks the exact output
+    (pigeonhole is deterministic: every pair within ``max_hamming``
+    shares ≥1 of max_hamming+1 exact bands)."""
+    nbands = max_hamming + 1
+    keys = simhash_band_keys(documents, text_col, nbands)
+    kcols = [f"k{b}" for b in range(nbands)]
+    banded = keys.select(
+        "doc_id",
+        *kcols,
+        F.posexplode(F.array(*[F.col(k) for k in kcols])).alias("band", "key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.{k}").alias(f"a_{k}") for k in kcols],
+            *[F.col(f"b.{k}").alias(f"b_{k}") for k in kcols],
+        )
+        .distinct()
+    )
+    ham = None
+    for k in kcols:
+        piece = F.bit_count(F.col(f"a_{k}").bitwiseXOR(F.col(f"b_{k}")))
+        ham = piece if ham is None else ham + piece
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -162,21 +162,26 @@ def ivf_topk(
     """IVF-style ANN: centroids = deterministic corpus sample (every
     Nth vector by id order — a kmeans iteration would refine them; the
     partition-probe structure is what matters for the scale path).
-    Corpus shuffles once on centroid id; queries probe nprobe cells."""
+    Corpus shuffles once on centroid id; queries probe nprobe cells.
+
+    Centroid choice is fully deterministic: ids divisible by step AND
+    below step×num_centroids (a bare ``limit`` after the filter would
+    pick an arbitrary subset when the filter matches num_centroids+1
+    ids). Assignment similarity is rounded to 1e-6 with centroid-id
+    tiebreak so the cell assignment is reproducible bit-for-bit across
+    engines (the DuckDB oracle mirrors it)."""
     n = corpus.count()
     step = max(1, n // num_centroids)
-    centroids = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent"))
-        .filter(F.col("cid") % step == 0)
-        .limit(num_centroids)
-    )
+    centroids = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cent")
+    ).filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * num_centroids))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
 
     # assign each corpus vector to its nearest centroid (broadcast cents)
     cassign = (
         c.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", _dot(F.col("c_vec"), F.col("cent")))
+        .withColumn("sim", round6(_dot(F.col("c_vec"), F.col("cent"))))
         .withColumn(
             "r",
             F.row_number().over(
@@ -190,7 +195,7 @@ def ivf_topk(
     )
     qassign = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", _dot(F.col("q_vec"), F.col("cent")))
+        .withColumn("sim", round6(_dot(F.col("q_vec"), F.col("cent"))))
         .withColumn(
             "r",
             F.row_number().over(

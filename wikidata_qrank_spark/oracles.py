@@ -372,6 +372,275 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
 """
 
 
+# ---- sketch oracles (md5 hash family / embedded hyperplane constants) --
+#
+# The LSH/sketch operators are deterministic given their hash family, so
+# they are value-checkable: the gate variants use md5 (identical in
+# Spark and DuckDB; xxhash64 remains the engine's scale-path family) or
+# share the deterministic hyperplane constants. The SQL below is
+# *generated* — bucketing, joins and ranking are written independently
+# of the DataFrame plans.
+
+_MH_BANDS, _MH_ROWS = 8, 4
+
+_mh_mins = ",\n         ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_MH_BANDS * _MH_ROWS)
+)
+_mh_banded = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sig".format(
+        b=b,
+        parts=" || ',' || ".join(f"h{b * _MH_ROWS + r}" for r in range(_MH_ROWS)),
+    )
+    for b in range(_MH_BANDS)
+)
+
+ORACLES["td_minhash_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                 i -> array_to_string(l[i:i+2], ' '))) AS gram
+    FROM toks
+  ) WHERE length(gram) > 0
+),
+sig AS (
+  SELECT doc_id,
+         {_mh_mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_mh_banded}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+_SH_BANDS, _SH_WIDTH = 4, 16
+
+_sh_sums = ",\n    ".join(
+    "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {nib}, 1)) - 1) // {p}) % 2 = 1"
+    " THEN 1 ELSE -1 END) AS s{i}".format(nib=i // 4 + 1, p=2 ** (i % 4), i=i)
+    for i in range(64)
+)
+_sh_keys = ",\n    ".join(
+    "CAST({expr} AS BIGINT) AS k{b}".format(
+        b=b,
+        expr=" + ".join(
+            f"CASE WHEN s{b * _SH_WIDTH + r} > 0 THEN {1 << r} ELSE 0 END"
+            for r in range(_SH_WIDTH)
+        ),
+    )
+    for b in range(_SH_BANDS)
+)
+_sh_banded = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, k0, k1, k2, k3, {b} AS band, k{b} AS bkey FROM keys"
+    for b in range(_SH_BANDS)
+)
+_sh_ham = " + ".join(f"bit_count(xor(a{b}, b{b}))" for b in range(_SH_BANDS))
+
+ORACLES["td_simhash_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+votes AS (SELECT doc_id, md5(tok) AS h FROM toks),
+sums AS (
+  SELECT doc_id,
+    {_sh_sums}
+  FROM votes GROUP BY doc_id
+),
+keys AS (
+  SELECT doc_id,
+    {_sh_keys}
+  FROM sums
+),
+banded AS (
+{_sh_banded}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.k0 AS a0, a.k1 AS a1, a.k2 AS a2, a.k3 AS a3,
+         b.k0 AS b0, b.k1 AS b1, b.k2 AS b2, b.k3 AS b3
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({_sh_ham} AS INT) AS hamming
+FROM cand
+WHERE {_sh_ham} <= 3
+"""
+
+
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    """Explicit left-associated sum — the same IEEE addition order as the
+    engine's F.aggregate fold, so bucket signs agree bit-for-bit."""
+    return " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE)*({v!r})" for i, v in enumerate(plane)
+    )
+
+
+def _bucket_sql(vec: str, dim: int, nbits: int, table_seed: int) -> str:
+    from .operators.similarity import _hyperplane
+
+    parts = []
+    for bit in range(nbits):
+        plane = _hyperplane(dim, table_seed * 97 + bit + 1)
+        parts.append(
+            f"(CASE WHEN ({_plane_dot_sql(vec, plane)}) > 0 THEN {1 << bit} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+_EMB_DIM = 64  # all sf dirs ship dim-64 embeddings (verified)
+
+_COS_SQL = """floor(
+           list_sum(list_transform(generate_series(1, len({a})),
+                                   i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len({a})),
+                                   i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len({b})),
+                                   i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+           * 1000000.0 + 0.5) / 1000000.0"""
+
+_nd_buckets = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {t + 1} AS t, ({_bucket_sql('e', _EMB_DIM, 4, t + 1)}) AS bucket FROM v"
+    for t in range(8)
+)
+
+ORACLES["td_embedding_near_dups_lsh"] = f"""
+WITH v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 120),
+buckets AS (
+{_nd_buckets}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, va.e AS ea, vb.e AS eb
+  FROM cand c
+  JOIN v va ON c.id_a = va.vec_id
+  JOIN v vb ON c.id_b = vb.vec_id
+),
+scored AS (
+  SELECT id_a, id_b, {_COS_SQL.format(a="ea", b="eb")} AS cosine FROM pairs
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+"""
+
+_ann_buckets = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {t + 1} AS t, ({_bucket_sql('e', _EMB_DIM, 8, t + 1)}) AS bucket FROM allv"
+    for t in range(4)
+)
+
+ORACLES["td_lsh_ann"] = f"""
+WITH allv AS (SELECT vec_id, embedding AS e FROM embeddings),
+buckets AS (
+{_ann_buckets}
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buckets cb
+  JOIN buckets qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+  WHERE qb.vec_id < 16 AND cb.vec_id <> qb.vec_id
+),
+pairs AS (
+  SELECT c.query_id, c.neighbor_id, q.e AS qv, n.e AS cv
+  FROM cand c
+  JOIN allv q ON c.query_id = q.vec_id
+  JOIN allv n ON c.neighbor_id = n.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL.format(a="qv", b="cv")} AS cosine FROM pairs
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS nn_rank
+FROM scored
+QUALIFY nn_rank <= 5
+"""
+
+_DOT_ROUND_SQL = """floor(
+      list_sum(list_transform(generate_series(1, len({a})),
+                              i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+      * 1000000.0 + 0.5) / 1000000.0"""
+
+ORACLES["td_ivf_ann"] = f"""
+WITH params AS (
+  SELECT greatest(1, count(*) // 16) AS step FROM embeddings
+),
+centroids AS (
+  SELECT vec_id AS cid, embedding AS cent FROM embeddings, params
+  WHERE vec_id % step = 0 AND vec_id < step * 16
+),
+cassign AS (
+  SELECT neighbor_id, cv, cid FROM (
+    SELECT neighbor_id, cv, cid,
+           row_number() OVER (PARTITION BY neighbor_id ORDER BY sim DESC, cid ASC) AS r
+    FROM (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cid,
+             {_DOT_ROUND_SQL.format(a="e.embedding", b="c.cent")} AS sim
+      FROM embeddings e, centroids c
+    )
+  ) WHERE r = 1
+),
+qassign AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT query_id, qv, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cid ASC) AS r
+    FROM (
+      SELECT e.vec_id AS query_id, e.embedding AS qv, c.cid,
+             {_DOT_ROUND_SQL.format(a="e.embedding", b="c.cent")} AS sim
+      FROM embeddings e, centroids c
+      WHERE e.vec_id < 16
+    )
+  ) WHERE r <= 4
+),
+cand AS (
+  SELECT qa.query_id, qa.qv, ca.neighbor_id, ca.cv
+  FROM cassign ca JOIN qassign qa ON ca.cid = qa.cid
+  WHERE ca.neighbor_id <> qa.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL.format(a="qv", b="cv")} AS cosine FROM cand
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS nn_rank
+FROM scored
+QUALIFY nn_rank <= 5
+"""
+
+# ---- gate-stable projections of nested/binary outputs -------------------
+
+ORACLES["kg_docs_with_spans"] = kg_sql(
+    """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       string_agg(kind || ',' || COALESCE(text, '') || ',' || COALESCE(media_ref, '')
+                  || ',' || CAST("offset" AS VARCHAR), '|' ORDER BY "offset") AS span_seq
+FROM spans GROUP BY doc_id
+"""
+)
+
+_mm_feats = ",\n       ".join(
+    "floor(ord(substr(media_ref, ({i} % length(media_ref)) + 1, 1)) / 255.0"
+    " * 1000000.0 + 0.5) / 1000000.0 AS f{i}".format(i=i)
+    for i in range(8)
+)
+
+ORACLES["mm_media_features"] = kg_sql(
+    f"""
+SELECT doc_id, "offset", media_ref,
+       TRUE AS decoded_ok,
+       {_mm_feats}
+FROM spans WHERE kind = 'media'
+"""
+)
+
 # ---- wiki-shaped derived tables (J10/A7 + J7 at data scale) ------------
 
 ORACLES["wiki_item_signals"] = """
