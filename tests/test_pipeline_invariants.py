@@ -106,3 +106,40 @@ def test_pipeline_from_real_interleaved_table(spark, tmp_path):
     qv_nested = {(r.item_id, r.views) for r in qviews(via_nested).collect()}
     qv_derived = {(r.item_id, r.views) for r in qviews(via_derived).collect()}
     assert qv_nested == qv_derived
+
+
+def test_arrow_mentions_guard_falls_back_to_jvm_join(spark):
+    """With a 1-row guard the Arrow kernel must refuse the driver
+    collect and fall back to the JVM broadcast join — identical rows."""
+    documents = load_table(spark, SF_SMOKE, "documents")
+    sp = spans(documents)
+    d = dictionary(documents)
+    cdict = canonical_dictionary(d, redirects(d))
+    arrow = text_mentions_arrow(sp, cdict)
+    fallback = text_mentions_arrow(sp, cdict, max_dict_rows=1)
+    assert fallback.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(fallback).count() == 0
+
+
+def test_fused_kernel_guard_raises_past_threshold(spark):
+    import pytest
+
+    from wikidata_qrank_spark.operators.fused import kg_partials
+    from wikidata_qrank_spark.operators.mentions import DictionaryTooLargeError
+
+    documents = load_table(spark, SF_SMOKE, "documents")
+    d = dictionary(documents)
+    with pytest.raises(DictionaryTooLargeError):
+        kg_partials(documents, d, max_dict_rows=1).count()
+
+
+def test_triples_arrow_guard_falls_back(spark):
+    from wikidata_qrank_spark.operators.links import triples_arrow
+
+    documents = load_table(spark, SF_SMOKE, "documents")
+    d = dictionary(documents)
+    cdict = canonical_dictionary(d, redirects(d))
+    arrow = triples_arrow(documents, cdict)
+    fallback = triples_arrow(documents, cdict, max_dict_rows=1)
+    assert fallback.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(fallback).count() == 0

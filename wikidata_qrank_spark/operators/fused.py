@@ -36,15 +36,30 @@ from .links import PRED_LINKS_TO
 PARTIALS_SCHEMA = "tag string, a long, b long, n long"
 
 
-def kg_partials(documents: DataFrame, dict_df: DataFrame, text_col: str = "text") -> DataFrame:
+def kg_partials(
+    documents: DataFrame,
+    dict_df: DataFrame,
+    text_col: str = "text",
+    max_dict_rows: int | None = None,
+) -> DataFrame:
     """Per-batch partials: ('v', item_id, 0, count) view partials and
     ('e', src_id, dst_id, 1) edge candidates. Text is read exactly once;
     output is O(|entities| + |edges|) per batch, independent of batch
-    row count."""
+    row count.
+
+    The dictionary is driver-collected (guarded by ``max_dict_rows``,
+    default the production-sitelinks ceiling). There is no same-shape
+    fallback — past the guard this raises DictionaryTooLargeError and
+    callers must use the unfused built-ins pipeline (mentions + qviews +
+    triples), whose broadcast joins never materialize the dictionary in
+    Python.
+    """
+    from .mentions import DEFAULT_MAX_DICT_ROWS, collect_dictionary
+
     spark = documents.sparkSession
-    table = {
-        r["title"]: r["item_id"] for r in dict_df.select("title", "item_id").collect()
-    }
+    table = collect_dictionary(
+        dict_df, DEFAULT_MAX_DICT_ROWS if max_dict_rows is None else max_dict_rows
+    )
     bc = spark.sparkContext.broadcast(table)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -47,7 +47,11 @@ def triples(mentions_df: DataFrame) -> DataFrame:
     )
 
 
-def triples_arrow(documents: DataFrame, dict_df: DataFrame) -> DataFrame:
+def triples_arrow(
+    documents: DataFrame,
+    dict_df: DataFrame,
+    max_dict_rows: int | None = None,
+) -> DataFrame:
     """Shuffle-free triple extraction: adjacency is *document-local*, so
     the consecutive-mention pairs are computed inside an Arrow batch
     kernel per document row — the corpus is never shuffled. Only the
@@ -63,15 +67,34 @@ def triples_arrow(documents: DataFrame, dict_df: DataFrame) -> DataFrame:
     Matches the span derivation of sources.interleaved: positions with
     offset % MEDIA_MOD == MEDIA_PHASE are media spans and do not join
     the text-mention adjacency chain, exactly like spans()+text_mentions.
+
+    The driver-collected dictionary is guarded by ``max_dict_rows``
+    (default: the production-sitelinks ceiling); past it this falls back
+    to the equivalent all-built-ins plan — spans → JVM broadcast mention
+    join → lead-window ``triples`` — which never holds the dictionary in
+    Python memory.
     """
     from typing import Iterator
 
     import pandas as pd
 
     from ..sources.interleaved import MEDIA_MOD, MEDIA_PHASE
+    from .mentions import (
+        DEFAULT_MAX_DICT_ROWS,
+        DictionaryTooLargeError,
+        collect_dictionary,
+        text_mentions,
+    )
 
     spark = documents.sparkSession
-    table = {r["title"]: r["item_id"] for r in dict_df.select("title", "item_id").collect()}
+    try:
+        table = collect_dictionary(
+            dict_df, DEFAULT_MAX_DICT_ROWS if max_dict_rows is None else max_dict_rows
+        )
+    except DictionaryTooLargeError:
+        from ..sources.interleaved import spans as _spans
+
+        return triples(text_mentions(_spans(documents), dict_df))
     bc = spark.sparkContext.broadcast(table)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -28,6 +28,39 @@ from pyspark.sql import functions as F
 
 MENTION_SCHEMA = "doc_id string, offset int, item_id long"
 
+# Guard for driver-side dictionary materialization. The production
+# sitelinks table is 76.7M rows / 783 MB (doc/design.md:77-82) — about
+# the ceiling a driver-held Python dict can take; past it the Arrow
+# kernels must not silently OOM the driver.
+DEFAULT_MAX_DICT_ROWS = 50_000_000
+
+
+class DictionaryTooLargeError(RuntimeError):
+    """The title→item dictionary is too large to collect onto the driver
+    for a Python-broadcast Arrow kernel; use the JVM broadcast-join
+    operators (text_mentions / media_mentions / links.triples) instead."""
+
+
+def collect_dictionary(
+    dict_df: DataFrame, max_rows: int | None = DEFAULT_MAX_DICT_ROWS
+) -> dict:
+    """(title → item_id) as a driver-side dict for Arrow kernels.
+
+    Counts the (aggregated, usually persisted) dimension first — one
+    cheap job — and refuses past ``max_rows`` instead of OOMing the
+    driver at real-sitelinks scale. ``max_rows=None`` skips the guard.
+    """
+    if max_rows is not None:
+        n = dict_df.count()
+        if n > max_rows:
+            raise DictionaryTooLargeError(
+                f"dictionary has {n} rows > max_rows={max_rows}; "
+                "use the JVM broadcast-join path"
+            )
+    return {
+        r["title"]: r["item_id"] for r in dict_df.select("title", "item_id").collect()
+    }
+
 
 def text_mentions(spans_df: DataFrame, dict_df: DataFrame) -> DataFrame:
     """(doc_id, offset, item_id) for every text span whose surface form
@@ -55,15 +88,25 @@ def media_mentions(spans_df: DataFrame, dict_df: DataFrame) -> DataFrame:
     )
 
 
-def text_mentions_arrow(spans_df: DataFrame, dict_df: DataFrame) -> DataFrame:
+def text_mentions_arrow(
+    spans_df: DataFrame,
+    dict_df: DataFrame,
+    max_dict_rows: int | None = DEFAULT_MAX_DICT_ROWS,
+) -> DataFrame:
     """Arrow-batched variant: dictionary broadcast as a plain dict to the
     Python workers; matching is a vectorized pandas ``map`` per batch.
 
     The dictionary is collected on the driver — valid for the same reason
     the broadcast join is: the dictionary side is small by construction.
+    Past ``max_dict_rows`` this falls back to the JVM broadcast join
+    (``text_mentions``), which produces the identical relation without
+    holding the dictionary in driver memory.
     """
     spark = spans_df.sparkSession
-    pairs = {r["title"]: r["item_id"] for r in dict_df.select("title", "item_id").collect()}
+    try:
+        pairs = collect_dictionary(dict_df, max_dict_rows)
+    except DictionaryTooLargeError:
+        return text_mentions(spans_df, dict_df)
     bc = spark.sparkContext.broadcast(pairs)
 
     def match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
