@@ -94,3 +94,32 @@ def test_non_item_entities_dropped(spark):
     )
     df = spark.createDataFrame([(lexeme,), (nowiki,), ("not json",)], "value string")
     assert sitelinks_from_json(df).count() == 0
+
+
+def test_find_entities_dump_follows_symlink(tmp_path):
+    """entities.go:26-45: resolve latest-all through the symlink, parse
+    the date from the resolved parent dir, return the resolved path."""
+    import os
+    from datetime import date
+
+    from wikidata_qrank_spark.sources.entities import find_entities_dump
+
+    d = tmp_path / "wikidatawiki" / "entities" / "20240301"
+    d.mkdir(parents=True)
+    real = d / "wikidata-20240301-all.json.bz2"
+    real.write_bytes(b"")
+    link = tmp_path / "wikidatawiki" / "entities" / "latest-all.json.bz2"
+    os.symlink(real, link)
+
+    got_date, got_path = find_entities_dump(str(tmp_path))
+    assert got_date == date(2024, 3, 1)
+    assert got_path == str(real)
+
+
+def test_find_entities_dump_missing(tmp_path):
+    import pytest as _pytest
+
+    from wikidata_qrank_spark.sources.entities import find_entities_dump
+
+    with _pytest.raises(FileNotFoundError):
+        find_entities_dump(str(tmp_path))

@@ -71,3 +71,66 @@ def test_publish_and_latest(spark, tmp_path):
     assert gzip.open(csv_file, "rt").readline().strip() == "Entity,QRank"
     assert latest_artifact(out, "qrank-stats").endswith("qrank-stats-20240301.json")
     assert latest_artifact(out, "nope") is None
+
+
+def test_artifact_server_conditional_get(tmp_path):
+    """main.go:101-140 semantics: quoted ETag, If-None-Match → 304,
+    CORS pre-flight, HEAD, 405 Allow, latest-artifact resolution."""
+    from wikidata_qrank_spark.plans.serving import ArtifactServer, content_etag
+
+    (tmp_path / "qrank-20240101.csv").write_text("Entity,QRank\nQ1,5\n")
+    (tmp_path / "qrank-20240301.csv").write_text("Entity,QRank\nQ1,9\n")
+    srv = ArtifactServer(str(tmp_path), basenames=("qrank",))
+
+    status, hdrs, body = srv.handle("GET", "/download/qrank-20240301.csv")
+    assert status == 200 and body is not None
+    etag = hdrs["ETag"]
+    assert etag.startswith('"') and etag.endswith('"')
+    assert etag.strip('"') == content_etag(str(tmp_path / "qrank-20240301.csv"))
+    assert hdrs["Content-Type"] == "text/csv"
+    assert hdrs["Access-Control-Allow-Origin"] == "*"
+
+    # dateless alias resolves to the LATEST artifact
+    status, hdrs2, body2 = srv.handle("GET", "/download/qrank.csv")
+    assert status == 200 and hdrs2["ETag"] == etag and body2 == body
+
+    # conditional GET: matching If-None-Match → 304 without a body
+    status, hdrs3, body3 = srv.handle(
+        "GET", "/download/qrank-20240301.csv", {"If-None-Match": etag}
+    )
+    assert status == 304 and body3 is None and hdrs3["ETag"] == etag
+    status, _, _ = srv.handle(
+        "GET", "/download/qrank-20240301.csv", {"If-None-Match": '"stale"'}
+    )
+    assert status == 200
+
+    # HEAD: headers, no body
+    status, hdrs4, body4 = srv.handle("HEAD", "/download/qrank-20240301.csv")
+    assert status == 200 and body4 is None and hdrs4["ETag"] == etag
+
+    # OPTIONS pre-flight
+    status, hdrs5, _ = srv.handle("OPTIONS", "/download/qrank-20240301.csv")
+    assert status == 204
+    assert hdrs5["Access-Control-Allow-Methods"] == "GET, HEAD, OPTIONS"
+    assert hdrs5["Access-Control-Max-Age"] == "86400"
+
+    # other methods → 405 with Allow
+    status, hdrs6, _ = srv.handle("PUT", "/download/qrank-20240301.csv")
+    assert status == 405 and hdrs6["Allow"] == "GET, HEAD, OPTIONS"
+
+    # unknown artifact / wrong prefix → 404
+    assert srv.handle("GET", "/download/nope.csv")[0] == 404
+    assert srv.handle("GET", "/qrank-20240301.csv")[0] == 404
+
+
+def test_artifact_server_reload_picks_up_new_version(tmp_path):
+    from wikidata_qrank_spark.plans.serving import ArtifactServer
+
+    (tmp_path / "qrank-20240101.csv").write_text("Entity,QRank\nQ1,5\n")
+    srv = ArtifactServer(str(tmp_path), basenames=("qrank",))
+    assert srv.handle("GET", "/download/qrank-20240301.csv")[0] == 404
+
+    (tmp_path / "qrank-20240301.csv").write_text("Entity,QRank\nQ1,9\n")
+    srv.watch(interval=0.01, max_iterations=1)  # one reload tick
+    status, _, body = srv.handle("GET", "/download/qrank.csv")
+    assert status == 200 and body.endswith("qrank-20240301.csv")

@@ -53,6 +53,32 @@ def test_stats_from_dataframe(spark):
     assert stats["Samples"][-1] == ["Q9", 9, 1]
 
 
+def test_stats_distributed_matches_driver_path(spark):
+    """A8 fallback: the single-task mapInPandas form over the
+    range-sorted table must produce the byte-identical stats JSON."""
+    import json
+
+    from wikidata_qrank_spark.operators.stats import build_stats_distributed
+
+    qrank = spark.createDataFrame(
+        [("Q1", 4721864130, 1), ("Q2", 107330319, 2), ("Q3", 69160330, 3),
+         ("Q4", 5111172, 4), ("Q5", 51123, 5), ("Q6", 156, 6),
+         ("Q7", 1, 7), ("Q8", 1, 8), ("Q9", 1, 9)],
+        "item string, views long, rank long",
+    )
+    a = build_stats(qrank, top_n=2, num_samples=8)
+    b = build_stats_distributed(qrank, top_n=2, num_samples=8)
+    sep = (",", ":")
+    assert json.dumps(a, separators=sep) == json.dumps(b, separators=sep)
+
+
+def test_stats_distributed_empty(spark):
+    from wikidata_qrank_spark.operators.stats import build_stats_distributed
+
+    empty = spark.createDataFrame([], "item string, views long, rank long")
+    assert build_stats_distributed(empty) == {"Median": 0, "Samples": []}
+
+
 # interwiki fixture mirroring the reference's rmwiki testdata
 # (interwikilinks_test.go:16-52 + testdata/interwikimap.php.txt)
 IW_MAP = {

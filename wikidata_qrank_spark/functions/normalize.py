@@ -140,16 +140,33 @@ def parse_item(s: str) -> int | None:
     return None
 
 
-def item_to_id(col):
-    """Column expr: 'Q72' → 72L, non-items → null. JVM-side (F3)."""
-    return F.when(
-        col.rlike(r"^Q\d+$"), F.substring(col, 2, 20).cast("long")
+def item_to_id(col, lexemes: bool = False):
+    """Column expr: 'Q72' → 72L, non-items → null. JVM-side (F3).
+
+    ``lexemes=True`` additionally maps 'L9' → 9 | lexeme-flag bit, the
+    packed form the reference carries through page_items
+    (util.go:32-60; page_items.go:140-149). Default stays Q-only — the
+    signal pipelines are Q-item-ranked, like the reference's
+    (pagesignals.go:161-163)."""
+    q = F.when(col.rlike(r"^Q\d+$"), F.substring(col, 2, 20).cast("long"))
+    if not lexemes:
+        return q.otherwise(F.lit(None).cast("long"))
+    return q.when(
+        col.rlike(r"^L\d+$"),
+        F.substring(col, 2, 20).cast("long").bitwiseOR(F.lit(_LEXEME_FLAG)),
     ).otherwise(F.lit(None).cast("long"))
 
 
-def id_to_item(col):
-    """Column expr: 72L → 'Q72'."""
-    return F.concat(F.lit("Q"), col.cast("string"))
+def id_to_item(col, lexemes: bool = False):
+    """Column expr: 72L → 'Q72'; with ``lexemes=True``, flag-bit ids
+    render as 'L<n>' (Item.String(), util.go:53-60)."""
+    if not lexemes:
+        return F.concat(F.lit("Q"), col.cast("string"))
+    flag = F.lit(_LEXEME_FLAG)
+    return F.when(
+        col.bitwiseAND(flag) != 0,
+        F.concat(F.lit("L"), col.bitwiseAND(~_LEXEME_FLAG).cast("string")),
+    ).otherwise(F.concat(F.lit("Q"), col.cast("string")))
 
 
 def decode_domain(col):

@@ -72,6 +72,54 @@ def build_stats(qrank_df: DataFrame, top_n: int = 50, num_samples: int = 1000) -
     return build_stats_from_rows(rows(), num_ranks, top_n, num_samples)
 
 
+def build_stats_distributed(
+    qrank_df: DataFrame, top_n: int = 50, num_samples: int = 1000
+) -> dict:
+    """Executor-side form of ``build_stats``: the identical sampling
+    kernel runs as ONE mapInPandas task over the range-sorted table
+    instead of streaming every row through the driver — the driver
+    receives only the O(num_samples) result. The pass is inherently
+    sequential (carries (lastX, lastY) state), so a single task is the
+    correct physical shape at any scale; what matters is that the full
+    qrank table never transits the driver (at 10× the reference's
+    27.3 M-row table, ``toLocalIterator`` becomes the bottleneck)."""
+    import pandas as pd
+
+    num_ranks = qrank_df.count()
+    ordered = (
+        qrank_df.repartitionByRange(1, "rank")
+        .sortWithinPartitions("rank")
+        .select("item", "views")
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        def rows() -> Iterator[tuple[str, int]]:
+            for pdf in batches:
+                yield from zip(pdf["item"], (int(v) for v in pdf["views"]))
+
+        stats = build_stats_from_rows(rows(), num_ranks, top_n, num_samples)
+        yield pd.DataFrame(
+            {
+                "idx": range(len(stats["Samples"])),
+                "item": [s[0] for s in stats["Samples"]],
+                "rank": [s[1] for s in stats["Samples"]],
+                "value": [s[2] for s in stats["Samples"]],
+                "median": [stats["Median"]] * len(stats["Samples"]),
+            }
+        )
+
+    out = ordered.mapInPandas(
+        kernel, schema="idx long, item string, rank long, value long, median long"
+    ).collect()
+    if not out:
+        return {"Median": 0, "Samples": []}
+    ordered_rows = sorted(out, key=lambda r: r["idx"])
+    return {
+        "Median": int(ordered_rows[0]["median"]),
+        "Samples": [[r["item"], int(r["rank"]), int(r["value"])] for r in ordered_rows],
+    }
+
+
 def write_stats_json(stats: dict, path: str) -> None:
     """Atomic publish (tmp + rename), byte-identical shape to the
     reference's JSON (keys Median/Samples, compact separators)."""

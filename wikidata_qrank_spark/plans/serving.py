@@ -1,0 +1,122 @@
+"""Conditional-GET serving surface for published artifacts (§3.3).
+
+Functional equivalent of the reference webserver's download handler
+(cmd/webserver/main.go:101-140) and storage watcher
+(cmd/webserver/storage.go:175-233): quoted ETags, If-None-Match → 304,
+CORS headers incl. the OPTIONS pre-flight, HEAD support, 405 with
+Allow for other methods, and a 30 s reload loop over the artifact
+directory. Implemented as a transport-free handler — (method, path,
+headers) → (status, headers, body_path) — so it unit-tests without a
+socket and mounts trivially under any WSGI/ASGI server. ETag = md5 of
+file bytes (the reference reuses the object store's md5-based ETag).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from email.utils import formatdate
+
+from .publish import latest_artifact
+
+_CONTENT_TYPES = {
+    ".csv": "text/csv",
+    ".json": "application/json",
+    ".gz": "application/gzip",
+    ".zst": "application/zstd",
+    ".txt": "text/plain",
+}
+
+_PREFLIGHT_HEADERS = {
+    "Allow": "GET, HEAD, OPTIONS",
+    "Access-Control-Allow-Methods": "GET, HEAD, OPTIONS",
+    "Access-Control-Allow-Headers": (
+        "ETag, If-Match, If-None-Match, If-Modified-Since, If-Range, Range"
+    ),
+    "Access-Control-Allow-Origin": "*",
+    "Access-Control-Expose-Headers": "ETag",
+    "Access-Control-Max-Age": "86400",
+}
+
+
+def content_etag(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _content_type(name: str) -> str:
+    _, ext = os.path.splitext(name)
+    return _CONTENT_TYPES.get(ext, "application/octet-stream")
+
+
+class ArtifactServer:
+    """Serves the newest published artifacts with conditional GET.
+
+    ``reload()`` rescans the directory (storage.go Reload); ``watch()``
+    re-runs it every ``interval`` seconds (storage.go:175-191) until
+    ``max_iterations`` — pass None to run forever in a real deployment.
+    """
+
+    def __init__(self, out_dir: str, basenames: tuple[str, ...] = ()):
+        self.out_dir = out_dir
+        self.basenames = basenames or ("qrank", "item_signals", "qrank-stats")
+        self._files: dict[str, tuple[str, str, float]] = {}
+        self.reload()
+
+    def reload(self) -> None:
+        files: dict[str, tuple[str, str, float]] = {}
+        for base in self.basenames:
+            path = latest_artifact(self.out_dir, base)
+            if path is None:
+                continue
+            files[os.path.basename(path)] = (
+                path,
+                content_etag(path),
+                os.path.getmtime(path),
+            )
+            # the dateless alias always points at the latest artifact
+            _, ext = os.path.splitext(path)
+            files[base + ext] = files[os.path.basename(path)]
+        self._files = files
+
+    def watch(self, interval: float = 30.0, max_iterations: int | None = None) -> None:
+        n = 0
+        while max_iterations is None or n < max_iterations:
+            time.sleep(interval)
+            self.reload()
+            n += 1
+
+    def handle(
+        self, method: str, path: str, headers: dict[str, str] | None = None
+    ) -> tuple[int, dict[str, str], str | None]:
+        """(status, response_headers, body_file_path|None)."""
+        headers = {k.lower(): v for k, v in (headers or {}).items()}
+        if method == "OPTIONS":
+            return 204, dict(_PREFLIGHT_HEADERS), None
+        if method not in ("GET", "HEAD"):
+            return 405, {"Allow": "GET, HEAD, OPTIONS"}, None
+        if not path.startswith("/download/"):
+            return 404, {}, None
+        name = path[len("/download/") :]
+        entry = self._files.get(name)
+        if entry is None:
+            return 404, {}, None
+        fpath, etag, mtime = entry
+        out = {
+            "ETag": f'"{etag}"',  # RFC 7232: ETag must be quoted
+            "Content-Type": _content_type(name),
+            "Access-Control-Allow-Origin": "*",
+            "Last-Modified": formatdate(mtime, usegmt=True),
+        }
+        inm = headers.get("if-none-match")
+        if inm is not None:
+            candidates = {c.strip().strip('"') for c in inm.split(",")}
+            if "*" in candidates or etag in candidates:
+                return 304, out, None
+        if method == "HEAD":
+            return 200, out, None
+        return 200, out, fpath

@@ -70,3 +70,22 @@ def sitelinks_from_entity(entity_json: str) -> list[tuple[str, str]]:
             site = "wikipedia"
         out.append((format_page_key(lang, site, sl.get("title", "")), item))
     return sorted(out)
+
+
+def find_entities_dump(dumps_path: str) -> tuple["object", str]:
+    """(dump_date, resolved_path) for the newest full entity dump —
+    entities.go:26-45: follow the ``latest-all.json.bz2`` symlink under
+    ``<dumps>/wikidatawiki/entities/``, take the date from the resolved
+    path's parent directory, and return the RESOLVED path (not the
+    symlink) so a dump rotation between discovery and open cannot race.
+    """
+    import os
+    from datetime import date, datetime
+
+    link = os.path.join(dumps_path, "wikidatawiki", "entities", "latest-all.json.bz2")
+    resolved = os.path.realpath(link)
+    if not os.path.exists(resolved):
+        raise FileNotFoundError(link)
+    parent = os.path.basename(os.path.dirname(resolved))
+    dump_date: date = datetime.strptime(parent, "%Y%m%d").date()
+    return dump_date, resolved
