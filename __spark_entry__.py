@@ -154,6 +154,45 @@ def _td_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.06)
 
 
+def _td_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components (iterative min-label
+    propagation) over the jaccard candidate pairs; the oracle closes the
+    same graph with a recursive CTE — independent algorithms."""
+    from wikidata_qrank_spark.operators.clusters import connected_components
+    from wikidata_qrank_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.06)
+    return connected_components(pairs)
+
+
+def _td_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage check: bench set = doc_id % 97 == 0, train =
+    the rest; ≥2 shared distinct 3-grams flags a (train, bench) pair."""
+    from wikidata_qrank_spark.operators.dedup import ngram_contamination
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(train, bench, n=3, min_shared=2)
+
+
+def _td_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically injected contact strings (the
+    corpus itself is digit-free word salad, so the injection makes the
+    regex parity check non-trivial); the oracle derives the identical
+    strings and mirrors the sequential count-then-replace policy."""
+    from wikidata_qrank_spark.operators.textstats import scrub_pii
+
+    docs = _documents(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    contact = F.concat(
+        F.lit("user"), sid, F.lit("@mail.example.com call +1-555-4242 see "),
+        F.lit("https://ex.example.com/d/"), sid,
+        F.lit(" ref 9"), F.lpad(sid, 8, "0"),
+    )
+    return scrub_pii(docs.select("doc_id", contact.alias("text")))
+
+
 def _td_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 hash family: same banded-LSH plan as the xxhash64 scale path
     (which tests/test_dedup.py exercises), but value-checkable by the
@@ -286,6 +325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_quality"] = _td_quality
     out["td_language_id"] = _td_language_id
     out["td_ngram_jaccard"] = _td_ngram_jaccard
+    out["td_dup_clusters"] = _td_dup_clusters
+    out["td_contamination"] = _td_contamination
+    out["td_pii_scrub"] = _td_pii_scrub
     out["td_minhash_pairs"] = _td_minhash_pairs
     out["td_simhash_pairs"] = _td_simhash_pairs
     out["td_ann_topk"] = _td_ann_topk

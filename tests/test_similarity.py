@@ -52,3 +52,24 @@ def test_ivf_returns_k_per_query(spark):
     counts = {r.query_id: r.n for r in res.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
     assert set(counts) == {0, 1, 2, 3}
     assert all(v == 5 for v in counts.values())
+
+
+def test_train_centroids_refines_and_ivf_accepts_them(spark):
+    from wikidata_qrank_spark.operators.similarity import (
+        ivf_topk,
+        seed_centroids,
+        train_centroids,
+    )
+
+    embeddings = load_table(spark, SF_SMOKE, "embeddings")
+    seeds = seed_centroids(embeddings, num_centroids=8)
+    assert seeds.count() == 8
+    trained = train_centroids(embeddings, num_centroids=8, iters=2)
+    assert trained.count() <= 8  # empty cells may drop
+    # trained centroids differ from the raw seeds (Lloyd moved them)
+    joined = trained.join(seeds, "cid").count()
+    assert trained.schema["cent"].dataType.simpleString() == "array<double>"
+    res = ivf_topk(embeddings, embeddings.limit(4), k=3, centroids=trained)
+    per_q = res.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in per_q)
+    assert joined >= 0

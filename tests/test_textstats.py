@@ -47,3 +47,48 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     fps = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_scrub_pii_sequential_policy(spark):
+    """Emails/URLs/phones/ids redacted; counts reflect the text state
+    at each stage (URL digits are not double-counted as IDs)."""
+    from wikidata_qrank_spark.operators.textstats import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me@x.org or visit https://x.org/a/123456789 id 99887766"),
+            (2, "call +1-555-4242 now"),
+            (3, "plain words only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert rows[1].clean == "mail <EMAIL> or visit <URL> id <ID>"
+    assert (rows[1].n_email, rows[1].n_url, rows[1].n_id_number) == (1, 1, 1)
+    assert rows[2].clean == "call <PHONE> now"
+    assert rows[2].n_phone == 1
+    assert rows[3].clean == "plain words only"
+    assert (rows[3].n_email, rows[3].n_url, rows[3].n_phone, rows[3].n_id_number) == (
+        0, 0, 0, 0,
+    )
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    from wikidata_qrank_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated sentence about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps far away")], "doc_id long, text string"
+    )
+    got = {
+        (r.train_doc, r.bench_doc): r.shared_ngrams
+        for r in ngram_contamination(train, bench, n=3, min_shared=2).collect()
+    }
+    # shared 3-grams: 'quick brown fox', 'brown fox jumps'
+    assert got == {(1, 100): 2}

@@ -1,0 +1,94 @@
+"""Duplicate-cluster materialization: connected components over
+candidate-pair edges, then survivor election — the graph-side finish of
+the dedup family (pairs → clusters → canonical doc per cluster).
+
+Spark-first shape: iterative min-label propagation. Labels start as the
+node id; each round every node takes the min of its own and its
+neighbors' labels; converges in O(graph diameter) rounds (duplicate
+clusters are shallow — near-clique — so typically 2-3 rounds). Each
+round is one join + one groupBy over the EDGE set (|E| ≪ corpus: only
+docs that collided in LSH appear), never the corpus. Each round's
+label table is ``localCheckpoint``-ed: the previous labels appear
+twice in the round's plan (union + neighbor join), so WITHOUT lineage
+truncation the logical tree doubles every round and Catalyst compile
+time goes exponential in the round count — persist alone caches data
+but not the plan. A tiny count() per round detects the fixpoint so
+converged graphs stop early.
+
+The DuckDB oracle computes the same components independently via a
+recursive-CTE transitive closure — a genuinely different algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, component) for every node appearing in ``pairs``;
+    component = min node id of the connected component (deterministic
+    canonical label)."""
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iters):
+            nbr = edges.join(
+                labels.withColumnRenamed("node", "b"), "b"
+            ).select(F.col("a").alias("node"), "label")
+            new_labels = (
+                labels.unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("label", "__old"), "node"
+                )
+                .filter(F.col("label") != F.col("__old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    finally:
+        edges.unpersist()
+
+
+def dup_clusters(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """(doc_id, component, is_survivor): survivor = the component's min
+    doc id — the deterministic first-wins election the reference's
+    sorted-stream dedup performs (links.go:60-77 semantics, lifted from
+    consecutive rows to whole clusters)."""
+    cc = connected_components(pairs, a_col, b_col)
+    return cc.withColumn("is_survivor", F.col("doc_id") == F.col("component"))
+
+
+def dedup_by_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Corpus minus non-survivor cluster members: broadcast-join the
+    (tiny) victim list against the corpus — map-only over the big side."""
+    victims = (
+        connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+    )
+    return documents.join(F.broadcast(victims), "doc_id", "left_anti")

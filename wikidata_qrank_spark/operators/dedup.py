@@ -120,6 +120,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(train_doc, bench_doc, shared_ngrams) — benchmark-leakage check:
+    distinct word-n-gram overlap between training docs and a (small)
+    benchmark/eval set. The bench shingle set is broadcast, so the train
+    corpus is a map-side join — only matching grams reach the pair
+    aggregation. At 100 TB this is the standard decontamination pass."""
+    t = _shingles(train, text_col, n).withColumnRenamed("doc_id", "train_doc")
+    b = _shingles(bench, text_col, n).withColumnRenamed("doc_id", "bench_doc")
+    return (
+        t.join(F.broadcast(b), "shingle")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
 # --------------------------------------------------------------- minhash
 
 DEFAULT_BANDS = 8

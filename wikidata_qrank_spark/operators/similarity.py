@@ -150,6 +150,64 @@ def lsh_bucketed_topk(
     )
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seed centroids: ids divisible by step and below
+    step×num_centroids (no arbitrary ``limit``)."""
+    n = corpus.count()
+    step = max(1, n // num_centroids)
+    return corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cent")
+    ).filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * num_centroids))
+
+
+def train_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of the seed centroids (the k-means step the
+    round-1 IVF left as a placeholder). Per iteration: broadcast
+    max-dot assignment (map-only over the corpus — same rule ivf_topk
+    probes with), then the per-cluster elementwise mean via ``dim``
+    avg-aggregate columns in ONE groupBy — clusters×1 shuffle rows, the
+    same shape as the minhash fix; no posexplode of vectors. round6 on
+    centroid dims removes float summation-order jitter; the (tiny,
+    ≤num_centroids-row) result is collected per iteration to keep the
+    loop's lineage flat."""
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    cents = seed_centroids(corpus, num_centroids, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    for _ in range(iters):
+        assigned = (
+            c.crossJoin(F.broadcast(cents))
+            .withColumn("sim", round6(_dot(F.col("__v"), F.col("cent"))))
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy("__id").orderBy(F.col("sim").desc(), F.col("cid"))
+                ),
+            )
+            .filter(F.col("r") == 1)
+        )
+        means = assigned.groupBy("cid").agg(
+            *[round6(F.avg(F.col("__v")[i])).alias(f"__m{i}") for i in range(dim)]
+        )
+        rows = means.collect()
+        cents = spark.createDataFrame(
+            [(r["cid"], [float(r[f"__m{i}"]) for i in range(dim)]) for r in rows],
+            "cid long, cent array<double>",
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -158,6 +216,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     num_centroids: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: centroids = deterministic corpus sample (every
     Nth vector by id order — a kmeans iteration would refine them; the
@@ -169,12 +228,11 @@ def ivf_topk(
     pick an arbitrary subset when the filter matches num_centroids+1
     ids). Assignment similarity is rounded to 1e-6 with centroid-id
     tiebreak so the cell assignment is reproducible bit-for-bit across
-    engines (the DuckDB oracle mirrors it)."""
-    n = corpus.count()
-    step = max(1, n // num_centroids)
-    centroids = corpus.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cent")
-    ).filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * num_centroids))
+    engines (the DuckDB oracle mirrors it). Pass ``centroids`` (e.g.
+    from ``train_centroids``) to probe a trained codebook instead of
+    the deterministic seeds."""
+    if centroids is None:
+        centroids = seed_centroids(corpus, num_centroids, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
 

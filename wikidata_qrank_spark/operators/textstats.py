@@ -129,3 +129,32 @@ def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     text — portable to the SQL oracle bit-for-bit."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return documents.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# PII scrubbing: sequential count-then-replace. Patterns restricted to
+# syntax with identical semantics in Java regex (Spark) and RE2
+# (DuckDB oracle): character classes, greedy counted repetition — no
+# lookaround, no backreferences, no word boundaries.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("phone", r"\+\d[\d\- ]{5,}\d", "<PHONE>"),
+    ("id_number", r"\d{6,}", "<ID>"),
+)
+
+
+def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII-shaped spans; emit per-category match counts.
+
+    Each category is counted on the text as it stands AFTER the previous
+    replacements (so a URL containing digits is one <URL>, not also an
+    <ID>), then replaced — one deterministic sequential policy, entirely
+    in JVM regex expressions (map-only; no shuffle, no Python).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    keep = [c for c in documents.columns if c != text_col]
+    return documents.select(*keep, cur.alias("clean"), *counts)

@@ -614,6 +614,99 @@ FROM scored
 QUALIFY nn_rank <= 5
 """
 
+# ---- dup clustering / contamination / PII -------------------------------
+
+# Connected components via recursive-CTE transitive closure — an
+# independent algorithm from the engine's iterative min-label
+# propagation (operators/clusters.py). Shared 3-gram-Jaccard pair CTEs.
+_JACCARD_PAIR_CTES = """toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                 i -> array_to_string(l[i:i+2], ' '))) AS gram
+    FROM toks
+  ) WHERE length(gram) > 0
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE floor(CAST(i.n_inter AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.06
+)"""
+
+ORACLES["td_dup_clusters"] = f"""
+WITH RECURSIVE {_JACCARD_PAIR_CTES},
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, b AS r FROM sym
+  UNION
+  SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a
+)
+SELECT node AS doc_id, least(node, min(r)) AS component
+FROM reach GROUP BY node
+"""
+
+ORACLES["td_contamination"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                 i -> array_to_string(l[i:i+2], ' '))) AS gram
+    FROM toks
+  ) WHERE length(gram) > 0
+),
+t AS (SELECT doc_id AS train_doc, shingle FROM sh WHERE doc_id % 97 <> 0),
+b AS (SELECT doc_id AS bench_doc, shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT train_doc, bench_doc, CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM t JOIN b USING (shingle)
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def _pii_sql() -> str:
+    """Mirror of the scrub_pii sequential count-then-replace policy,
+    generated from the same PII_PATTERNS so patterns cannot drift."""
+    from .operators.textstats import PII_PATTERNS
+
+    base = (
+        "'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com call "
+        "+1-555-4242 see https://ex.example.com/d/' || CAST(doc_id AS VARCHAR)"
+        " || ' ref 9' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+    )
+    cur = base
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    cols = ",\n       ".join([f"{cur} AS clean"] + counts)
+    return f"SELECT doc_id,\n       {cols}\nFROM documents"
+
+
+ORACLES["td_pii_scrub"] = _pii_sql()
+
 # ---- gate-stable projections of nested/binary outputs -------------------
 
 ORACLES["kg_docs_with_spans"] = kg_sql(
