@@ -38,3 +38,20 @@ def test_bucketed_mentions_window_without_exchange(spark, tmp_path):
     assert a == b
 
     spark.sql("DROP TABLE IF EXISTS tm_bucketed")
+
+
+def test_load_table_catalog_escape_hatch(spark, monkeypatch):
+    """SPARK_GRAFT_CATALOG routes loads through the session catalog —
+    the Iceberg-deployment entry (spark.table) — '.' = current
+    namespace; unset = parquet files."""
+    from tests.conftest import SF_SMOKE
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    base = load_table(spark, SF_SMOKE, "documents")
+    base.limit(7).createOrReplaceTempView("documents")
+    monkeypatch.setenv("SPARK_GRAFT_CATALOG", ".")
+    via_catalog = load_table(spark, SF_SMOKE, "documents")
+    assert via_catalog.count() == 7
+    monkeypatch.delenv("SPARK_GRAFT_CATALOG")
+    assert load_table(spark, SF_SMOKE, "documents").count() == base.count()
+    spark.catalog.dropTempView("documents")

@@ -269,3 +269,35 @@ INSERT INTO `page_props` VALUES (1,'wikibase_item','Q100',NULL),(3,'wikibase_ite
     # ns-4 'About' resolves via prefix to item 300 = self-loop → dropped;
     # 'Nowhere' unresolvable → dropped
     assert got == [(100, 70), (100, 72), (300, 72)]
+
+
+REDIRECT_SQL = """\
+CREATE TABLE `redirect` (
+  `rd_from` int(8) unsigned NOT NULL DEFAULT 0,
+  `rd_namespace` int(11) NOT NULL DEFAULT 0,
+  `rd_title` varbinary(255) NOT NULL DEFAULT '',
+  `rd_interwiki` varbinary(32) DEFAULT NULL,
+  `rd_fragment` varbinary(255) DEFAULT NULL
+) ENGINE=InnoDB;
+INSERT INTO `redirect` VALUES (10,0,'Zurich',NULL,NULL),(11,0,'Geneva','','Section'),(12,0,'Bern','wikt',NULL),(13,4,'Policy',NULL,NULL);
+"""
+
+
+def test_redirect_targets_drops_interwiki(spark, tmp_path):
+    """P6 (titles.go:287-293): rd_interwiki non-empty → dropped; ns
+    prefixing applied; SQL-dump NULL ('') and '' both pass."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.operators.wiki import redirect_targets
+
+    p = tmp_path / "redirect.sql"
+    p.write_text(REDIRECT_SQL, encoding="utf-8")
+    rdf = read_sql_dump(spark, str(p))
+    namespaces = spark.createDataFrame(
+        [(0, ""), (4, "NS")], "ns_id int, localized string"
+    )
+    got = {
+        (r.from_page, r.title) for r in redirect_targets(rdf, namespaces).collect()
+    }
+    # 12 is an interwiki redirect (wikt) → dropped; 13 gets the prefix
+    assert got == {(10, "Zurich"), (11, "Geneva"), (13, "NS:Policy")}

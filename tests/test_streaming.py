@@ -35,3 +35,44 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ev_counts").collect()
     }
     assert got == batch
+
+
+def test_streaming_qviews_matches_batch(spark, tmp_path):
+    """Incremental mention counting over a document file-stream equals
+    the batch qviews — the stream-static broadcast mention join keeps
+    the exact batch code path (spans + text_mentions) stateless."""
+    from wikidata_qrank_spark.operators.linking import canonical_dictionary
+    from wikidata_qrank_spark.operators.mentions import text_mentions
+    from wikidata_qrank_spark.sources.interleaved import dictionary, redirects, spans
+    from wikidata_qrank_spark.streaming.mentions import streaming_docs, streaming_qviews
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(3).write.parquet(src)
+    static_docs = spark.read.parquet(src)
+
+    d = dictionary(static_docs)
+    cdict = canonical_dictionary(d, redirects(d))
+    batch = {
+        (r.item_id, r["count"])
+        for r in text_mentions(spans(static_docs), cdict)
+        .groupBy("item_id")
+        .count()
+        .collect()
+    }
+
+    stream = streaming_docs(spark, src, schema=static_docs.schema)
+    q = (
+        streaming_qviews(stream, cdict)
+        .writeStream.format("memory")
+        .queryName("qviews_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.item_id, r.views)
+        for r in spark.sql("SELECT * FROM qviews_stream").collect()
+    }
+    assert got == batch

@@ -144,6 +144,41 @@ def qviews_monthly(
     return salted_sum(joined, ["item_id"], "views", "views")
 
 
+def redirect_targets(
+    redirect_df: DataFrame, namespaces: DataFrame | None = None
+) -> DataFrame:
+    """(from_page, title) from a MediaWiki ``redirect`` table — the P6
+    filter made explicit (titles.go:270-293): interwiki redirects
+    (``rd_interwiki`` non-empty) are DROPPED, remaining targets get the
+    localized namespace prefix. Feeds the same titles/targets join as
+    pagelinks; composes with sources.sqldump for real redirect dumps
+    (the SQL reader emits NULL as '', so one filter covers both)."""
+    r = redirect_df.select(
+        F.col("rd_from").cast("long").alias("from_page"),
+        F.col("rd_namespace").cast("int").alias("namespace"),
+        F.col("rd_title").alias("title"),
+        F.col("rd_interwiki").alias("interwiki"),
+    ).filter(F.col("interwiki").isNull() | (F.col("interwiki") == ""))
+    if namespaces is not None:
+        ns = namespaces.select(
+            F.col("ns_id").alias("namespace"), F.col("localized").alias("__ns_prefix")
+        )
+        r = (
+            r.join(F.broadcast(ns), "namespace", "left")
+            .withColumn(
+                "title",
+                F.when(
+                    (F.col("namespace") != 0)
+                    & F.col("__ns_prefix").isNotNull()
+                    & (F.col("__ns_prefix") != ""),
+                    F.concat(F.col("__ns_prefix"), F.lit(":"), F.col("title")),
+                ).otherwise(F.col("title")),
+            )
+            .drop("__ns_prefix")
+        )
+    return r.select("from_page", "title")
+
+
 # ------------------------------------------------------ pagelinks → links
 
 

@@ -28,6 +28,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table loader with a catalog-first escape hatch.
+
+    Set ``SPARK_GRAFT_CATALOG`` to read ``<catalog>.<name>`` through the
+    session catalog instead of parquet files — the idiomatic entry for
+    an Iceberg deployment (``spark.table`` on an Iceberg catalog table
+    gets snapshot isolation, partition pruning, and metadata-column
+    access like ``_partition``/snapshot id for the lineage columns in
+    plans/checkpoint.py). ``SPARK_GRAFT_CATALOG=.`` means the current
+    catalog/temp-view namespace. The sandbox ships no Iceberg jars, so
+    the default stays the parquet directory — same schema, same plans.
+    """
+    catalog = os.environ.get("SPARK_GRAFT_CATALOG")
+    if catalog:
+        qualified = name if catalog == "." else f"{catalog}.{name}"
+        return spark.table(qualified)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
