@@ -64,6 +64,26 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
 
         docs = load_table(spark, sf_dir, "documents")
         emb = load_table(spark, sf_dir, "embeddings")
+        def _pii():
+            from pyspark.sql import functions as F
+
+            sid = F.col("doc_id").cast("string")
+            contact = F.concat(
+                F.lit("user"), sid, F.lit("@mail.example.com call +1-555-4242 see "),
+                F.lit("https://ex.example.com/d/"), sid,
+                F.lit(" ref 9"), F.lpad(sid, 8, "0"),
+            )
+            return textstats.scrub_pii(
+                docs.select("doc_id", contact.alias("text"))
+            ).count()
+
+        def _contamination():
+            from pyspark.sql import functions as F
+
+            bench_set = docs.filter(F.col("doc_id") % 97 == 0)
+            train = docs.filter(F.col("doc_id") % 97 != 0)
+            return dedup.ngram_contamination(train, bench_set, n=3, min_shared=2).count()
+
         extended = {
             "q6_exact_dedup": lambda: dedup.exact_duplicate_groups(docs).count(),
             "q7_minhash_pairs": lambda: dedup.minhash_lsh_pairs(docs).count(),
@@ -71,6 +91,9 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
                 emb, emb.limit(16), k=5
             ).count(),
             "q9_quality": lambda: textstats.quality_scores(docs).count(),
+            # round-2 additions (q1–q9 keys stay stable for diffing)
+            "q10_pii_scrub": _pii,
+            "q11_contamination": _contamination,
         }
         for name, action in extended.items():
             t0 = time.perf_counter()

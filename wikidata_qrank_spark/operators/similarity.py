@@ -8,9 +8,11 @@
 * ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH signs
   bucket the corpus; candidates = same-bucket rows only, then exact
   re-rank inside buckets. Multiple hash tables raise recall.
-* ``ivf_topk`` — IVF-style: k-means-lite centroid assignment (centroids
-  sampled deterministically), probe the ``nprobe`` nearest centroid
-  partitions only.
+* ``ivf_topk`` — IVF: deterministic seed centroids (oracle-checkable)
+  or a ``train_centroids`` Lloyd-refined codebook; probe the ``nprobe``
+  nearest cells only. Training assigns cells MAP-ONLY (centroid
+  literals inlined, ``_assign_cell``) — one shuffle per Lloyd
+  iteration, the clusters×1-row mean aggregation.
 """
 
 from __future__ import annotations
@@ -165,6 +167,25 @@ def seed_centroids(
     ).filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * num_centroids))
 
 
+def _assign_cell(vec_col, cent_rows: list[tuple[int, list[float]]]):
+    """Map-only nearest-cell expression: rounded dot against each
+    centroid (literal arrays), argmax with lowest-cid tiebreak via
+    array_position-of-array_max over the cid-ascending sim array. The
+    semantic twin of `ORDER BY sim DESC, cid ASC … r=1` — but zero
+    shuffle: at corpus scale this replaces a corpus×k exchange through a
+    row_number window with a pure projection."""
+    ordered = sorted(cent_rows, key=lambda r: r[0])
+    sims = F.array(
+        *[
+            round6(_dot(vec_col, F.array(*[F.lit(float(x)) for x in vec])))
+            for _, vec in ordered
+        ]
+    )
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in ordered])
+    idx = F.array_position(sims, F.array_max(sims)).cast("int")
+    return F.element_at(cids, idx).cast("long")
+
+
 def train_centroids(
     corpus: DataFrame,
     num_centroids: int = 16,
@@ -173,39 +194,33 @@ def train_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Lloyd refinement of the seed centroids (the k-means step the
-    round-1 IVF left as a placeholder). Per iteration: broadcast
-    max-dot assignment (map-only over the corpus — same rule ivf_topk
-    probes with), then the per-cluster elementwise mean via ``dim``
-    avg-aggregate columns in ONE groupBy — clusters×1 shuffle rows, the
-    same shape as the minhash fix; no posexplode of vectors. round6 on
-    centroid dims removes float summation-order jitter; the (tiny,
-    ≤num_centroids-row) result is collected per iteration to keep the
-    loop's lineage flat."""
+    round-1 IVF left as a placeholder). Per iteration: map-only
+    nearest-cell assignment (``_assign_cell``, centroids inlined as
+    literal arrays — same max-dot rule ivf_topk probes with), then the
+    per-cluster elementwise mean via ``dim`` avg-aggregate columns in
+    ONE groupBy — clusters×1 shuffle rows, the same shape as the
+    minhash fix; no posexplode of vectors and no corpus×k exchange.
+    Each Lloyd iteration is ONE shuffle total. round6 on centroid dims
+    removes float summation-order jitter; the (tiny, ≤num_centroids-row)
+    codebook is collected per iteration, which also keeps the loop's
+    lineage flat."""
     spark = corpus.sparkSession
     dim = len(corpus.select(vec_col).first()[0])
-    cents = seed_centroids(corpus, num_centroids, id_col, vec_col)
+    cent_rows = [
+        (r["cid"], [float(x) for x in r["cent"]])
+        for r in seed_centroids(corpus, num_centroids, id_col, vec_col).collect()
+    ]
     c = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     for _ in range(iters):
-        assigned = (
-            c.crossJoin(F.broadcast(cents))
-            .withColumn("sim", round6(_dot(F.col("__v"), F.col("cent"))))
-            .withColumn(
-                "r",
-                F.row_number().over(
-                    Window.partitionBy("__id").orderBy(F.col("sim").desc(), F.col("cid"))
-                ),
-            )
-            .filter(F.col("r") == 1)
-        )
+        assigned = c.withColumn("cid", _assign_cell(F.col("__v"), cent_rows))
         means = assigned.groupBy("cid").agg(
             *[round6(F.avg(F.col("__v")[i])).alias(f"__m{i}") for i in range(dim)]
         )
-        rows = means.collect()
-        cents = spark.createDataFrame(
-            [(r["cid"], [float(r[f"__m{i}"]) for i in range(dim)]) for r in rows],
-            "cid long, cent array<double>",
-        )
-    return cents
+        cent_rows = [
+            (r["cid"], [float(r[f"__m{i}"]) for i in range(dim)])
+            for r in means.collect()
+        ]
+    return spark.createDataFrame(cent_rows, "cid long, cent array<double>")
 
 
 def ivf_topk(
