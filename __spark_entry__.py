@@ -87,6 +87,29 @@ def _kg_docs_with_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_qviews_from_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end from the TRUE input_hint shape: documents packed into
+    (doc_id, spans array<struct<kind,text,media_ref,offset>>), then the
+    pipeline consumes the NESTED table via spans_from_interleaved — the
+    plug-in point for a deployment whose corpus is already interleaved
+    (no derivation). Same result as kg_qviews (same oracle)."""
+    from wikidata_qrank_spark.operators.linking import canonical_dictionary
+    from wikidata_qrank_spark.operators.mentions import text_mentions
+    from wikidata_qrank_spark.operators.qrank import qviews
+    from wikidata_qrank_spark.sources.interleaved import (
+        dictionary,
+        docs_with_spans,
+        redirects,
+        spans_from_interleaved,
+    )
+
+    documents = _documents(spark, sf_dir)
+    sp = spans_from_interleaved(docs_with_spans(documents))
+    d = dictionary(documents)
+    cdict = canonical_dictionary(d, redirects(d))
+    return qviews(text_mentions(sp, cdict))
+
+
 def _fused_combined(spark: SparkSession, sf_dir: str):
     from wikidata_qrank_spark.operators.fused import combine_partials, kg_partials
     from wikidata_qrank_spark.operators.linking import canonical_dictionary
@@ -317,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"kg_{key}"] = _pipeline_query(key)
     out["kg_text_mentions_arrow"] = _kg_text_mentions_arrow
     out["kg_docs_with_spans"] = _kg_docs_with_spans
+    out["kg_qviews_from_interleaved"] = _kg_qviews_from_interleaved
     out["kg_qviews_fused"] = _kg_qviews_fused
     out["kg_triples_fused"] = _kg_triples_fused
     out["td_fingerprints"] = _td_fingerprints

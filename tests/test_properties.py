@@ -63,3 +63,70 @@ def test_stats_invariants(values, top_n, num_samples):
         assert samples[i][1] == i + 1
     # median index within bounds
     assert 0 <= stats["Median"] <= len(samples)
+
+
+# ---- SQL-dump lexer/parser roundtrip ------------------------------------
+
+_sql_int = st.integers(min_value=-(10**12), max_value=10**12)
+_sql_float = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=0.001, max_value=10**6
+).map(lambda f: round(f, 3))
+# strings without backslashes (the reference keeps non-quote escapes
+# escaped, so backslash round-trips are intentionally not identity);
+# single quotes exercise the \' escape path
+_sql_str = st.text(
+    alphabet=st.characters(
+        blacklist_characters="\\", blacklist_categories=("Cs",)
+    ),
+    max_size=24,
+)
+_sql_value = st.one_of(
+    _sql_int.map(lambda v: ("num", str(v))),
+    _sql_float.map(lambda v: ("num", repr(v))),
+    _sql_str.map(lambda v: ("str", v)),
+    st.just(("null", "")),
+)
+
+
+def _render_value(kind: str, v: str) -> str:
+    if kind == "num":
+        return v
+    if kind == "null":
+        return "NULL"
+    return "'" + v.replace("'", r"\'") + "'"
+
+
+@given(
+    st.lists(
+        st.lists(_sql_value, min_size=3, max_size=3), min_size=0, max_size=8
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=120, deadline=None)
+def test_sql_dump_roundtrip(rows, per_stmt):
+    """Render arbitrary tuples as a MediaWiki-style dump (multiple
+    INSERT statements, comments, NULLs, escaped quotes) → parse →
+    identical values. Mirrors the tuple grammar of sqlreader.go."""
+    from wikidata_qrank_spark.sources.sqldump import parse_sql_dump
+
+    header = (
+        "-- dump comment\n"
+        "CREATE TABLE `t` (\n"
+        "  `a` int(10) unsigned NOT NULL,\n"
+        "  `b` varbinary(60) NOT NULL DEFAULT '',\n"
+        "  `c` blob NOT NULL,\n"
+        "  PRIMARY KEY (`a`)\n"
+        ") ENGINE=InnoDB DEFAULT CHARSET=binary;\n"
+    )
+    stmts = []
+    for i in range(0, len(rows), per_stmt):
+        chunk = rows[i : i + per_stmt]
+        tuples = ",".join(
+            "(" + ",".join(_render_value(k, v) for k, v in row) + ")"
+            for row in chunk
+        )
+        stmts.append(f"INSERT INTO `t` VALUES {tuples};")
+    cols, parsed = parse_sql_dump(header + "\n".join(stmts))
+    assert cols == ["a", "b", "c"]
+    want = [[v for _, v in row] for row in rows]
+    assert parsed == want

@@ -73,3 +73,18 @@ def test_train_centroids_refines_and_ivf_accepts_them(spark):
     per_q = res.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in per_q)
     assert joined >= 0
+
+
+def test_empty_corpus_is_survivable(spark):
+    """Empty day-slices/partitions must not crash the embedding ops —
+    empty typed results, not first()[0] TypeErrors."""
+    from wikidata_qrank_spark.operators.dedup import embedding_near_dups
+    from wikidata_qrank_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        train_centroids,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert lsh_bucketed_topk(empty, empty, k=3).count() == 0
+    assert train_centroids(empty, num_centroids=4, iters=1).count() == 0
+    assert embedding_near_dups(empty, threshold=0.5).count() == 0

@@ -467,7 +467,13 @@ def embedding_near_dups(
     if exact:
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        dim = len(a.select("va").first()[0])
+        from .similarity import probe_dim
+
+        dim = probe_dim(a, "va")
+        if dim is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
         cand = None
         for t in range(num_tables):
             ab = a.withColumn("bucket", lsh_bucket(a, "va", nbits, t + 1, dim))

@@ -84,6 +84,21 @@ def brute_force_topk(
     )
 
 
+def probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Embedding dimensionality from one row; None for an empty corpus
+    (callers return an empty, correctly-typed result instead of
+    crashing on ``first()[0]`` — a 100 TB pipeline hits empty partitions
+    and empty day-slices as a matter of course)."""
+    row = df.select(vec_col).first()
+    return None if row is None else len(row[0])
+
+
+def _empty_topk(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine double, nn_rank int"
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit hyperplane (pure Python, tiny)."""
     vals = []
@@ -100,7 +115,9 @@ def lsh_bucket(df: DataFrame, vec_col: str, nbits: int, table_seed: int, dim: in
     Pass ``dim`` to avoid a driver action per call (callers looping over
     hash tables should probe the dimension once)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = probe_dim(df, vec_col)
+        if dim is None:
+            raise ValueError("empty corpus: cannot probe LSH dimension")
     expr = F.lit(0).cast("long")
     for bit in range(nbits):
         plane = F.array(
@@ -125,7 +142,9 @@ def lsh_bucketed_topk(
     never fans out beyond its buckets."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    dim = len(c.select("c_vec").first()[0])
+    dim = probe_dim(c, "c_vec")
+    if dim is None:
+        return _empty_topk(corpus.sparkSession)
     cand = None
     for t in range(num_tables):
         cb = c.withColumn("bucket", lsh_bucket(c, "c_vec", nbits, t + 1, dim))
@@ -205,7 +224,9 @@ def train_centroids(
     codebook is collected per iteration, which also keeps the loop's
     lineage flat."""
     spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = probe_dim(corpus, vec_col)
+    if dim is None:
+        return spark.createDataFrame([], "cid long, cent array<double>")
     cent_rows = [
         (r["cid"], [float(x) for x in r["cent"]])
         for r in seed_centroids(corpus, num_centroids, id_col, vec_col).collect()

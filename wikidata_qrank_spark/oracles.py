@@ -134,6 +134,10 @@ WHERE next_id IS NOT NULL AND next_id <> item_id
 # Arrow mention kernel computes the identical relation → same oracle
 ORACLES["kg_text_mentions_arrow"] = ORACLES["kg_text_mentions"]
 
+# pipeline driven from the packed nested input_hint table (pack →
+# spans_from_interleaved → mentions → qviews) — same relation as qviews
+ORACLES["kg_qviews_from_interleaved"] = ORACLES["kg_qviews"]
+
 # fused Arrow build kernel — identical results, different physical plan
 ORACLES["kg_qviews_fused"] = ORACLES["kg_qviews"]
 ORACLES["kg_triples_fused"] = kg_sql("""
