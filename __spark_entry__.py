@@ -327,6 +327,15 @@ def _an_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_orders_per_customer(spark, sf_dir, k=3)
 
 
+def _ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30 min silence = new session):
+    two shared-partition windows evaluated in one Window operator."""
+    from wikidata_qrank_spark.operators.sessions import sessionize
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.sources.tables import load_table
     from wikidata_qrank_spark.streaming.events import windowed_event_counts
@@ -361,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_ivf_ann"] = _td_ivf_ann
     out["mm_media_features"] = _mm_media_features
     out["ev_windowed_counts"] = _ev_windowed_counts
+    out["ev_sessions"] = _ev_sessions
     out["wiki_item_signals"] = _wiki_item_signals
     out["wiki_links"] = _wiki_links
     out["an_pricing_summary"] = _an_pricing_summary

@@ -76,3 +76,31 @@ def test_streaming_qviews_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM qviews_stream").collect()
     }
     assert got == batch
+
+
+def test_sessionize_gap_semantics(spark):
+    """30-min silence starts a new session; adjacent events within the
+    gap share one; plan uses a single exchange."""
+    from datetime import datetime
+
+    from wikidata_qrank_spark.operators.sessions import sessionize
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 7, "a", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 10, 0), 7, "a", 2.0, "{}"),
+        (3, datetime(2024, 1, 1, 11, 0, 0), 7, "a", 4.0, "{}"),   # 50 min gap → new
+        (4, datetime(2024, 1, 1, 10, 0, 0), 8, "a", 8.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r.user_id, r.session_seq): (r.n_events, r.total_value)
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert out == {(7, 1): (2, 3.0), (7, 2): (1, 4.0), (8, 1): (1, 8.0)}
+
+    plan = sessionize(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange ") == 1

@@ -358,6 +358,32 @@ GROUP BY 1, 2
 """
 
 
+ORACLES["ev_sessions"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value, epoch_us(ts) AS us FROM events
+),
+flags AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flags
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS total_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
 ORACLES["td_embedding_near_dups"] = """
 WITH v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 120),
 scored AS (
