@@ -133,6 +133,25 @@ def _kg_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples_from_combined(_fused_combined(spark, sf_dir))
 
 
+def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_graph(spark, sf_dir)["triples"].select("src_id", "dst_id")
+
+
+def _kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.graph import degrees
+
+    return degrees(_kg_edges(spark, sf_dir))
+
+
+def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the materialized triple graph — the signal the
+    reference names as planned (doc/design.md:245-262) but never built.
+    Per-iteration round6 → bit-reproducible vs the unrolled SQL."""
+    from wikidata_qrank_spark.operators.graph import pagerank
+
+    return pagerank(_kg_edges(spark, sf_dir), iters=3, damping=0.85)
+
+
 def _td_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.operators.textstats import fingerprints
 
@@ -352,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_qviews_from_interleaved"] = _kg_qviews_from_interleaved
     out["kg_qviews_fused"] = _kg_qviews_fused
     out["kg_triples_fused"] = _kg_triples_fused
+    out["kg_degrees"] = _kg_degrees
+    out["kg_pagerank"] = _kg_pagerank
     out["td_fingerprints"] = _td_fingerprints
     out["td_exact_dedup"] = _td_exact_dedup
     out["td_token_counts"] = _td_token_counts

@@ -1,0 +1,39 @@
+"""Graph analytics (degrees, PageRank) over triple edges."""
+
+from __future__ import annotations
+
+from wikidata_qrank_spark.operators.graph import degrees, pagerank
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src_id long, dst_id long")
+
+
+def test_degrees(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    got = {r.node: (r.out_degree, r.in_degree) for r in degrees(e).collect()}
+    assert got == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+def test_pagerank_star_graph(spark):
+    """Everything points at the hub → hub rank strictly dominates, and
+    leaf ranks are equal (symmetry)."""
+    e = _edges(spark, [(1, 9), (2, 9), (3, 9), (4, 9)])
+    got = {r.node: r.rank for r in pagerank(e, iters=3).collect()}
+    assert got[9] > max(got[i] for i in (1, 2, 3, 4))
+    assert len({got[i] for i in (1, 2, 3, 4)}) == 1
+    # all ranks positive, total mass bounded by 1 (dangling mass drops)
+    assert all(v > 0 for v in got.values())
+    assert sum(got.values()) <= 1.0 + 1e-6
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3)])
+    a = sorted(tuple(r) for r in pagerank(e, iters=3).collect())
+    b = sorted(tuple(r) for r in pagerank(e, iters=3).collect())
+    assert a == b
+
+
+def test_pagerank_empty(spark):
+    e = _edges(spark, [])
+    assert pagerank(e).count() == 0

@@ -1,0 +1,93 @@
+"""Graph analytics over the materialized triple graph.
+
+The reference names PageRank as the planned next ranking signal
+(doc/design.md:245-262; itemsignals.go:40 reserves a slot for it) but
+never implements it — here it is, Spark-first, over the engine's own
+(src_id, dst_id) edges:
+
+* ``degrees`` — in/out degree per node (one groupBy each, full outer
+  merged; the adjacency profile of the KG).
+* ``pagerank`` — bounded Lloyd-style iteration: contributions =
+  rank/outdeg along edges (broadcast-able rank table joined to edges),
+  per-destination sum, damping. Each iteration is ONE shuffle (the
+  per-dst aggregation); the rank table is ``localCheckpoint``-ed per
+  round (see operators/clusters.py — without truncation the lineage
+  doubles per round). Ranks are round6-ed at every iteration boundary,
+  which makes the fixpoint bit-reproducible across engines: the DuckDB
+  oracle evaluates the identical unrolled recurrence and value-hashes
+  the result.
+
+Semantics (deterministic, documented): N = |src ∪ dst| over the edge
+set; rank_0 = round6(1/N); rank_{t+1}(v) = round6((1-d)/N +
+d·Σ_{u→v} rank_t(u)/outdeg(u)); dangling mass is dropped (nodes with no
+outlinks contribute nothing — the simple variant, stated in the oracle
+too, so both engines agree exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.precision import round6
+
+
+def degrees(edges: DataFrame, src: str = "src_id", dst: str = "dst_id") -> DataFrame:
+    """(node, out_degree, in_degree) over the edge set."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(node, rank) after ``iters`` damped iterations (see module doc)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "node long, rank double")
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    graph = e.join(outdeg, "u").localCheckpoint(eager=True)
+
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", round6(F.lit(1.0 / n)))
+    for _ in range(iters):
+        contrib = (
+            graph.join(ranks.withColumnRenamed("node", "u"), "u")
+            .select("v", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("v", "node"), "node", "left")
+            .select(
+                "node",
+                round6(
+                    F.lit(base) + F.lit(damping) * F.coalesce("incoming", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -192,6 +192,66 @@ LEFT JOIN ident i ON COALESCE(t.item_id, m.item_id) = i.item_id
 )
 
 
+# ---- graph analytics over the triple graph ------------------------------
+
+_EDGES_CTE = """
+, edges AS (
+  SELECT DISTINCT item_id AS u, next_id AS v
+  FROM (
+    SELECT item_id,
+           lead(item_id) OVER (PARTITION BY doc_id ORDER BY "offset") AS next_id
+    FROM tmentions
+  )
+  WHERE next_id IS NOT NULL AND next_id <> item_id
+),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges)
+"""
+
+ORACLES["kg_degrees"] = kg_sql(
+    _EDGES_CTE
+    + """
+SELECT n.node,
+       CAST(COALESCE(o.d, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(i.d, 0) AS BIGINT) AS in_degree
+FROM nodes n
+LEFT JOIN (SELECT u, count(*) AS d FROM edges GROUP BY u) o ON n.node = o.u
+LEFT JOIN (SELECT v, count(*) AS d FROM edges GROUP BY v) i ON n.node = i.v
+"""
+)
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PageRank recurrence — per-iteration round6 makes the
+    float fixpoint identical to the engine's iterative joins."""
+    d = repr(damping)
+    ctes = [
+        ",\nnn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        ",\nodeg AS (SELECT u, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY u)",
+        ",\nr0 AS (SELECT node, floor(1.0 / nn.n * 1000000.0 + 0.5) / 1000000.0 AS rank"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f""",
+c{t} AS (
+  SELECT e.v AS node, sum(r.rank / o.outdeg) AS incoming
+  FROM edges e JOIN r{t - 1} r ON e.u = r.node JOIN odeg o ON e.u = o.u
+  GROUP BY e.v
+),
+r{t} AS (
+  SELECT no.node,
+         floor(((1.0 - {d}) / nn.n + {d} * COALESCE(c.incoming, 0.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS rank
+  FROM nodes no CROSS JOIN nn LEFT JOIN c{t} c ON no.node = c.node
+)"""
+        )
+    return kg_sql(
+        _EDGES_CTE + "".join(ctes) + f"\nSELECT node, rank FROM r{iters}\n"
+    )
+
+
+ORACLES["kg_pagerank"] = _pagerank_sql(3, 0.85)
+
 # ---- training-data operators ------------------------------------------
 
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
