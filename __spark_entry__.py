@@ -152,6 +152,23 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_kg_edges(spark, sf_dir), iters=3, damping=0.85)
 
 
+def _kg_item_signals_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """item_signals extended with the PageRank column the reference
+    reserves a slot for (itemsignals.go:40): left join of the per-item
+    signal vector with the triple-graph PageRank (0.0 for items with no
+    edges)."""
+    from wikidata_qrank_spark.operators.graph import pagerank
+
+    g = build_graph(spark, sf_dir)
+    pr = pagerank(g["triples"].select("src_id", "dst_id"), iters=3, damping=0.85)
+    return (
+        g["item_signals"]
+        .join(pr.withColumnRenamed("node", "item_id"), "item_id", "left")
+        .withColumn("pagerank", F.coalesce(F.col("rank"), F.lit(0.0)))
+        .drop("rank")
+    )
+
+
 def _td_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.operators.textstats import fingerprints
 
@@ -346,6 +363,18 @@ def _an_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_orders_per_customer(spark, sf_dir, k=3)
 
 
+def _ev_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import props_stats
+
+    return props_stats(spark, sf_dir)
+
+
+def _an_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import monthly_revenue
+
+    return monthly_revenue(spark, sf_dir)
+
+
 def _ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30 min silence = new session):
     two shared-partition windows evaluated in one Window operator."""
@@ -373,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_triples_fused"] = _kg_triples_fused
     out["kg_degrees"] = _kg_degrees
     out["kg_pagerank"] = _kg_pagerank
+    out["kg_item_signals_pr"] = _kg_item_signals_pr
     out["td_fingerprints"] = _td_fingerprints
     out["td_exact_dedup"] = _td_exact_dedup
     out["td_token_counts"] = _td_token_counts
@@ -392,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["mm_media_features"] = _mm_media_features
     out["ev_windowed_counts"] = _ev_windowed_counts
     out["ev_sessions"] = _ev_sessions
+    out["ev_props_stats"] = _ev_props_stats
+    out["an_monthly_revenue"] = _an_monthly_revenue
     out["wiki_item_signals"] = _wiki_item_signals
     out["wiki_links"] = _wiki_links
     out["an_pricing_summary"] = _an_pricing_summary

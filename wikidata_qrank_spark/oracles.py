@@ -252,6 +252,8 @@ r{t} AS (
 
 ORACLES["kg_pagerank"] = _pagerank_sql(3, 0.85)
 
+ORACLES["kg_item_signals_pr"] = None  # composed below after both parts exist
+
 # ---- training-data operators ------------------------------------------
 
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
@@ -442,6 +444,30 @@ SELECT user_id, session_seq,
        CAST(count(*) AS BIGINT) AS n_events,
        floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS total_value
 FROM sess GROUP BY user_id, session_seq
+"""
+
+ORACLES["ev_props_stats"] = """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         value
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS total_value
+FROM parsed GROUP BY event_type
+"""
+
+ORACLES["an_monthly_revenue"] = """
+SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS order_year,
+       CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders
+GROUP BY 1, 2
 """
 
 ORACLES["td_embedding_near_dups"] = """
@@ -931,4 +957,12 @@ SELECT o_custkey, o_orderkey,
        ) AS BIGINT) AS order_rank
 FROM orders
 QUALIFY order_rank <= 3
+"""
+
+
+# item_signals ⨯ pagerank composition (subqueries carry their own WITH)
+ORACLES["kg_item_signals_pr"] = f"""
+SELECT s.*, COALESCE(p.rank, 0.0) AS pagerank
+FROM ({ORACLES["kg_item_signals"]}) s
+LEFT JOIN ({ORACLES["kg_pagerank"]}) p ON s.item_id = p.node
 """

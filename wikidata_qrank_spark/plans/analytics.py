@@ -72,3 +72,40 @@ def top_orders_per_customer(
         .filter(F.col("order_rank") <= k)
         .select("o_custkey", "o_orderkey", "price_c", "order_rank")
     )
+
+
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup demo (date functions + agg): orders per
+    year/month with revenue in cents — Catalyst folds year()/month()
+    into the scan projection; one partial-agg shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return (
+        o.groupBy(
+            F.year(ts).cast("int").alias("order_year"),
+            F.month(ts).cast("int").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_c"),
+        )
+    )
+
+
+def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured demo: JSON props column → typed extraction
+    (get_json_object, JVM-side) → per-type aggregates."""
+    from ..functions.precision import round6
+
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.when(F.col("k") > 50, F.lit(1))).cast("long").alias("n_high_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            round6(F.sum("value")).alias("total_value"),
+        )
+    )
