@@ -375,6 +375,12 @@ def _an_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly_revenue(spark, sf_dir)
 
 
+def _ev_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import value_quantiles
+
+    return value_quantiles(spark, sf_dir)
+
+
 def _ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30 min silence = new session):
     two shared-partition windows evaluated in one Window operator."""
@@ -423,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_windowed_counts"] = _ev_windowed_counts
     out["ev_sessions"] = _ev_sessions
     out["ev_props_stats"] = _ev_props_stats
+    out["ev_quantiles"] = _ev_quantiles
     out["an_monthly_revenue"] = _an_monthly_revenue
     out["wiki_item_signals"] = _wiki_item_signals
     out["wiki_links"] = _wiki_links

@@ -461,6 +461,15 @@ SELECT event_type,
 FROM parsed GROUP BY event_type
 """
 
+ORACLES["ev_quantiles"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(quantile_cont(value, 0.5)  * 1000000.0 + 0.5) / 1000000.0 AS p50,
+       floor(quantile_cont(value, 0.9)  * 1000000.0 + 0.5) / 1000000.0 AS p90,
+       floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99
+FROM events GROUP BY event_type
+"""
+
 ORACLES["an_monthly_revenue"] = """
 SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS order_year,
        CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS order_month,

@@ -109,3 +109,19 @@ def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.sum("value")).alias("total_value"),
         )
     )
+
+
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type — Spark's
+    `percentile` and DuckDB's `quantile_cont` share the linear
+    interpolation definition and match bit-for-bit (probed); round6
+    guards the residual risk."""
+    from ..functions.precision import round6
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        round6(F.expr("percentile(value, 0.5)")).alias("p50"),
+        round6(F.expr("percentile(value, 0.9)")).alias("p90"),
+        round6(F.expr("percentile(value, 0.99)")).alias("p99"),
+    )
