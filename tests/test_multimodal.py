@@ -55,3 +55,27 @@ def test_frame_sample_keeps_every_nth(spark):
     joined = per_doc.join(per_doc_s, "doc_id").collect()
     for r in joined:
         assert r.kept == (r.total + 2) // 3
+
+
+def test_resize_media_plumbing(spark):
+    """Resize pass: metadata rewritten to target dims, payload bounded,
+    corruption tolerated (empty payload → resized_ok=False)."""
+    import pandas as pd
+
+    from wikidata_qrank_spark.operators.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["1", "2"],
+                "offset": [3, 10],
+                "media_ref": ["File:a.jpg", "File:b.jpg"],
+                "payload": [b"x" * 500, b""],
+                "media_type": ["image/jpeg", "image/png"],
+            }
+        )
+    )
+    rows = {r.doc_id: r for r in resize_media(media, width=32, height=16).collect()}
+    assert rows["1"].resized_ok and len(rows["1"].payload) == 48
+    assert rows["1"].width == 32 and rows["1"].height == 16
+    assert not rows["2"].resized_ok and rows["2"].payload == b""

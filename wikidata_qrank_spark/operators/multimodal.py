@@ -114,3 +114,55 @@ def frame_sample(media_df: DataFrame, every_nth: int = 5) -> DataFrame:
         .filter((F.col("__seq") - 1) % every_nth == 0)
         .drop("__seq")
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id string, offset int, media_ref string, payload binary, "
+    "media_type string, width int, height int, resized_ok boolean"
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — deterministic fake for the image resize kernel (no PIL in
+    this container; production swaps in Image.open → resize → tobytes
+    inside the same mapInPandas kernel). Derives a byte payload of
+    length min(len, width+height) so downstream size accounting is
+    exercised; raises on empty payload like a real decoder."""
+    if not payload:
+        raise ValueError("empty media payload")
+    return payload[: max(1, min(len(payload), width + height))]
+
+
+def resize_media(media_df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """mapInPandas resize pass: Arrow batches in, per-row resize with
+    corruption tolerance (resized_ok=False keeps the original payload
+    instead of failing the task). The Spark-side plumbing — schema,
+    batching, metadata rewrite — is real; only the pixel kernel is the
+    documented stub."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, oks = [], []
+            for payload in pdf["payload"]:
+                try:
+                    out_payload.append(_fake_resize(bytes(payload), width, height))
+                    oks.append(True)
+                except (ValueError, TypeError):
+                    out_payload.append(bytes(payload) if payload is not None else b"")
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "offset": pdf["offset"],
+                    "media_ref": pdf["media_ref"],
+                    "payload": out_payload,
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "resized_ok": oks,
+                }
+            )
+
+    return media_df.select(
+        "doc_id", "offset", "media_ref", "payload", "media_type"
+    ).mapInPandas(kernel, schema=RESIZED_SCHEMA)
