@@ -133,6 +133,25 @@ def _kg_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples_from_combined(_fused_combined(spark, sf_dir))
 
 
+def _kg_item_signals_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """item_signals out of the one-pass fused kernel (signals=True
+    partials + pivot finish) — with qviews/triples_fused this makes the
+    ENTIRE reference output set a single corpus read."""
+    from wikidata_qrank_spark.operators.fused import (
+        combine_partials,
+        item_signals_from_combined,
+        kg_partials,
+    )
+    from wikidata_qrank_spark.operators.linking import canonical_dictionary
+    from wikidata_qrank_spark.sources.interleaved import dictionary, redirects
+
+    documents = _documents(spark, sf_dir)
+    d = dictionary(documents)
+    cdict = canonical_dictionary(d, redirects(d))
+    combined = combine_partials(kg_partials(documents, cdict, signals=True))
+    return item_signals_from_combined(combined, cdict)
+
+
 def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_graph(spark, sf_dir)["triples"].select("src_id", "dst_id")
 
@@ -406,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_qviews_from_interleaved"] = _kg_qviews_from_interleaved
     out["kg_qviews_fused"] = _kg_qviews_fused
     out["kg_triples_fused"] = _kg_triples_fused
+    out["kg_item_signals_fused"] = _kg_item_signals_fused
     out["kg_degrees"] = _kg_degrees
     out["kg_pagerank"] = _kg_pagerank
     out["kg_item_signals_pr"] = _kg_item_signals_pr

@@ -42,3 +42,30 @@ def test_fused_matches_unfused(spark):
         for r in triples(text_mentions(spans(docs), cdict)).collect()
     }
     assert fused_tr == unfused_tr
+
+
+def test_fused_item_signals_match_unfused(spark):
+    """signals=True partials finish to the identical item_signals
+    relation — the whole reference output set from ONE corpus read."""
+    from wikidata_qrank_spark.operators.fused import item_signals_from_combined
+    from wikidata_qrank_spark.operators.signals import item_signals
+    from wikidata_qrank_spark.operators.mentions import media_mentions
+    from wikidata_qrank_spark.sources.interleaved import spans
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    d = dictionary(docs)
+    cdict = canonical_dictionary(d, redirects(d))
+
+    combined = combine_partials(kg_partials(docs, cdict, signals=True))
+    fused = item_signals_from_combined(combined, cdict)
+
+    sp = spans(docs)
+    unfused = item_signals(
+        text_mentions(sp, cdict), media_mentions(sp, cdict), docs, cdict
+    )
+    cols = sorted(fused.columns)
+    assert sorted(unfused.columns) == cols
+    a = fused.select(*cols)
+    b = unfused.select(*cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

@@ -41,11 +41,26 @@ def kg_partials(
     dict_df: DataFrame,
     text_col: str = "text",
     max_dict_rows: int | None = None,
+    signals: bool = False,
+    chars_col: str = "n_chars",
 ) -> DataFrame:
     """Per-batch partials: ('v', item_id, 0, count) view partials and
     ('e', src_id, dst_id, 1) edge candidates. Text is read exactly once;
     output is O(|entities| + |edges|) per batch, independent of batch
     row count.
+
+    ``signals=True`` additionally emits the item_signals partials in the
+    SAME pass — valid because each document lives entirely inside one
+    Arrow batch, so per-(item, doc) statistics complete within the
+    batch and reduce to per-item sums before the exchange:
+
+    * ('w', item, 0, Σ chars of batch docs mentioning item) → wikitext_bytes
+    * ('c', item, 0, #batch docs mentioning item)           → claims
+    * ('m', item, 0, #media mentions in batch)              → sitelinks
+
+    With these, the ENTIRE reference output set (qviews, qrank, triples,
+    item_signals) derives from ONE corpus read + one KB-scale combining
+    shuffle (see ``item_signals_from_combined``).
 
     The dictionary is driver-collected (guarded by ``max_dict_rows``,
     default the production-sitelinks ceiling). There is no same-shape
@@ -67,22 +82,43 @@ def kg_partials(
         for pdf in batches:
             counts: dict[int, int] = {}
             edges: set[tuple[int, int]] = set()
-            for text in pdf[text_col]:
+            wbytes: dict[int, int] = {}
+            cdocs: dict[int, int] = {}
+            media: dict[int, int] = {}
+            chars = pdf[chars_col] if signals else None
+            for row_i, text in enumerate(pdf[text_col]):
                 prev = None
+                doc_items: set[int] = set()
                 for pos, tok in enumerate(text.split(" ")):
                     if pos % MEDIA_MOD == MEDIA_PHASE:
+                        if signals:
+                            mitem = lookup.get(tok)
+                            if mitem is not None:
+                                media[mitem] = media.get(mitem, 0) + 1
                         continue
                     item = lookup.get(tok)
                     if item is None:
                         continue
                     counts[item] = counts.get(item, 0) + 1
+                    doc_items.add(item)
                     if prev is not None and prev != item:
                         edges.add((prev, item))
                     prev = item
+                if signals and doc_items:
+                    nc = int(chars.iloc[row_i])
+                    for item in doc_items:
+                        wbytes[item] = wbytes.get(item, 0) + nc
+                        cdocs[item] = cdocs.get(item, 0) + 1
             tags = ["v"] * len(counts) + ["e"] * len(edges)
             a = [*counts.keys()] + [e[0] for e in edges]
             b = [0] * len(counts) + [e[1] for e in edges]
             n = [*counts.values()] + [1] * len(edges)
+            if signals:
+                for tag, d in (("w", wbytes), ("c", cdocs), ("m", media)):
+                    tags += [tag] * len(d)
+                    a += list(d.keys())
+                    b += [0] * len(d)
+                    n += list(d.values())
             yield pd.DataFrame(
                 {
                     "tag": pd.Series(tags, dtype="object"),
@@ -92,7 +128,8 @@ def kg_partials(
                 }
             )
 
-    return documents.select(text_col).mapInPandas(kernel, schema=PARTIALS_SCHEMA)
+    cols = [text_col] + ([chars_col] if signals else [])
+    return documents.select(*cols).mapInPandas(kernel, schema=PARTIALS_SCHEMA)
 
 
 def combine_partials(partials: DataFrame) -> DataFrame:
@@ -105,6 +142,37 @@ def qviews_from_combined(combined: DataFrame) -> DataFrame:
     # combined already has one row per (v, item, 0) — just project
     return combined.filter(F.col("tag") == "v").select(
         F.col("a").alias("item_id"), F.col("n").alias("views")
+    )
+
+
+def item_signals_from_combined(combined: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """Finish item_signals from signals=True partials: one pivot over the
+    already-combined per-item sums (v/w/c/m → pageviews_52w /
+    wikitext_bytes / claims / sitelinks), identifiers from the (tiny)
+    dictionary side. Identical relation to operators.signals.item_signals
+    (same DuckDB oracle) — but the corpus was read exactly once for the
+    whole build."""
+    sigs = (
+        combined.filter(F.col("tag") != "e")
+        .groupBy("a")
+        .pivot("tag", ["v", "w", "c", "m"])
+        .sum("n")
+    )
+    ident = dict_df.groupBy("item_id").agg(
+        F.countDistinct("title").cast("long").alias("identifiers")
+    )
+    return (
+        sigs.withColumnRenamed("a", "item_id")
+        .join(F.broadcast(ident), "item_id", "left")
+        .select(
+            "item_id",
+            F.concat(F.lit("Q"), F.col("item_id")).alias("item"),
+            F.coalesce("v", F.lit(0)).cast("long").alias("pageviews_52w"),
+            F.coalesce("w", F.lit(0)).cast("long").alias("wikitext_bytes"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("claims"),
+            F.coalesce("identifiers", F.lit(0)).cast("long").alias("identifiers"),
+            F.coalesce("m", F.lit(0)).cast("long").alias("sitelinks"),
+        )
     )
 
 

@@ -192,6 +192,9 @@ LEFT JOIN ident i ON COALESCE(t.item_id, m.item_id) = i.item_id
 )
 
 
+# one-pass fused build: identical item_signals relation
+ORACLES["kg_item_signals_fused"] = ORACLES["kg_item_signals"]
+
 # ---- graph analytics over the triple graph ------------------------------
 
 _EDGES_CTE = """
