@@ -272,20 +272,15 @@ def ivf_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
 
-    # assign each corpus vector to its nearest centroid (broadcast cents)
-    cassign = (
-        c.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", round6(_dot(F.col("c_vec"), F.col("cent"))))
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.col("sim").desc(), F.col("cid")
-                )
-            ),
-        )
-        .filter(F.col("r") == 1)
-        .select("neighbor_id", "c_vec", "cid")
+    # corpus → nearest cell: MAP-ONLY via the literal-argmax projection
+    # (_assign_cell is the semantic twin of r=1 over sim DESC, cid ASC —
+    # same rounded sims, same tiebreak — so the oracle is unchanged).
+    # The codebook is ≤num_centroids rows; collecting it is bounded.
+    cent_rows = [
+        (r["cid"], [float(x) for x in r["cent"]]) for r in centroids.collect()
+    ]
+    cassign = c.withColumn("cid", _assign_cell(F.col("c_vec"), cent_rows)).select(
+        "neighbor_id", "c_vec", "cid"
     )
     qassign = (
         q.crossJoin(F.broadcast(centroids))
