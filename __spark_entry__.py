@@ -259,16 +259,9 @@ def _td_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself is digit-free word salad, so the injection makes the
     regex parity check non-trivial); the oracle derives the identical
     strings and mirrors the sequential count-then-replace policy."""
-    from wikidata_qrank_spark.operators.textstats import scrub_pii
+    from wikidata_qrank_spark.operators.textstats import inject_contact, scrub_pii
 
-    docs = _documents(spark, sf_dir)
-    sid = F.col("doc_id").cast("string")
-    contact = F.concat(
-        F.lit("user"), sid, F.lit("@mail.example.com call +1-555-4242 see "),
-        F.lit("https://ex.example.com/d/"), sid,
-        F.lit(" ref 9"), F.lpad(sid, 8, "0"),
-    )
-    return scrub_pii(docs.select("doc_id", contact.alias("text")))
+    return scrub_pii(inject_contact(_documents(spark, sf_dir)))
 
 
 def _td_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

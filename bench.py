@@ -65,17 +65,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         docs = load_table(spark, sf_dir, "documents")
         emb = load_table(spark, sf_dir, "embeddings")
         def _pii():
-            from pyspark.sql import functions as F
-
-            sid = F.col("doc_id").cast("string")
-            contact = F.concat(
-                F.lit("user"), sid, F.lit("@mail.example.com call +1-555-4242 see "),
-                F.lit("https://ex.example.com/d/"), sid,
-                F.lit(" ref 9"), F.lpad(sid, 8, "0"),
-            )
-            return textstats.scrub_pii(
-                docs.select("doc_id", contact.alias("text"))
-            ).count()
+            return textstats.scrub_pii(textstats.inject_contact(docs)).count()
 
         def _contamination():
             from pyspark.sql import functions as F

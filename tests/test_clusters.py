@@ -47,3 +47,13 @@ def test_dedup_by_clusters_keeps_survivors_and_singletons(spark):
     )
     # 2,3 fold into 1; 6 folds into 5; 4 and 7 untouched singletons
     assert kept == [1, 4, 5, 7]
+
+
+def test_components_raise_when_not_converged(spark):
+    import pytest
+
+    from wikidata_qrank_spark.operators.clusters import ComponentsNotConverged
+
+    edges = [(i, i + 1) for i in range(1, 9)]  # diameter 8 path
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(_pairs(spark, edges), max_iters=2).collect()

@@ -134,3 +134,18 @@ def test_artifact_server_reload_picks_up_new_version(tmp_path):
     srv.watch(interval=0.01, max_iterations=1)  # one reload tick
     status, _, body = srv.handle("GET", "/download/qrank.csv")
     assert status == 200 and body.endswith("qrank-20240301.csv")
+
+
+def test_artifact_server_weak_etag_comparison(tmp_path):
+    """RFC 7232 §3.2: If-None-Match uses weak comparison — W/"etag"
+    must still produce a 304."""
+    from wikidata_qrank_spark.plans.serving import ArtifactServer
+
+    (tmp_path / "qrank-20240101.csv").write_text("Entity,QRank\nQ1,5\n")
+    srv = ArtifactServer(str(tmp_path), basenames=("qrank",))
+    _, hdrs, _ = srv.handle("GET", "/download/qrank-20240101.csv")
+    weak = "W/" + hdrs["ETag"]
+    status, _, body = srv.handle(
+        "GET", "/download/qrank-20240101.csv", {"If-None-Match": weak}
+    )
+    assert status == 304 and body is None

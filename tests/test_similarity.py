@@ -88,3 +88,18 @@ def test_empty_corpus_is_survivable(spark):
     assert lsh_bucketed_topk(empty, empty, k=3).count() == 0
     assert train_centroids(empty, num_centroids=4, iters=1).count() == 0
     assert embedding_near_dups(empty, threshold=0.5).count() == 0
+    assert ivf_topk(empty, empty, k=3).count() == 0
+
+
+def test_seed_centroids_sparse_id_space(spark):
+    """Rank-based seeding must yield centroids even when ids are sparse
+    or offset (an id-modulo rule silently returns zero)."""
+    from wikidata_qrank_spark.operators.similarity import ivf_topk, seed_centroids
+
+    vecs = [(1_000_000 + i, [float(i % 7), 1.0]) for i in range(100)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    seeds = seed_centroids(df, num_centroids=8)
+    assert seeds.count() == 8
+    res = ivf_topk(df, df.limit(2), k=3, num_centroids=8)
+    per_q = res.groupBy("query_id").count().collect()
+    assert len(per_q) == 2 and all(r["count"] == 3 for r in per_q)

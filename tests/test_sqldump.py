@@ -301,3 +301,27 @@ def test_redirect_targets_drops_interwiki(spark, tmp_path):
     }
     # 12 is an interwiki redirect (wikt) → dropped; 13 gets the prefix
     assert got == {(10, "Zurich"), (11, "Geneva"), (13, "NS:Policy")}
+
+
+ENUM_TABLE_SQL = """\
+CREATE TABLE `categorylinks` (
+  `cl_from` int(8) unsigned NOT NULL DEFAULT 0,
+  `cl_to` varbinary(255) NOT NULL DEFAULT '',
+  `cl_type` enum('page','subcat','file') NOT NULL DEFAULT 'page',
+  `cl_sortkey` varbinary(230) NOT NULL DEFAULT '',
+  PRIMARY KEY (`cl_from`,`cl_to`)
+) ENGINE=InnoDB;
+INSERT INTO `categorylinks` VALUES (1,'Cities','page','CITIES'),(2,'Rivers','subcat','RIVERS');
+"""
+
+
+def test_parse_enum_column_types():
+    """Commas inside parenthesized types (enum/decimal) must not end the
+    column list — a real categorylinks-shaped dump (the Go reference's
+    skipUntilEither has this bug; we deviate deliberately)."""
+    cols, rows = parse_sql_dump(ENUM_TABLE_SQL)
+    assert cols == ["cl_from", "cl_to", "cl_type", "cl_sortkey"]
+    assert rows == [
+        ["1", "Cities", "page", "CITIES"],
+        ["2", "Rivers", "subcat", "RIVERS"],
+    ]

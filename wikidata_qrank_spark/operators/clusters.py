@@ -25,15 +25,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ComponentsNotConverged(RuntimeError):
+    """Min-label propagation hit max_iters with labels still changing —
+    the result would silently split real components, so refuse it.
+    Raise max_iters (components converge in O(diameter) rounds; near-dup
+    clusters are near-cliques, so hitting this means the edge graph has
+    an unexpectedly long path)."""
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iters: int = 20,
+    max_iters: int = 25,
 ) -> DataFrame:
     """(doc_id, component) for every node appearing in ``pairs``;
     component = min node id of the connected component (deterministic
-    canonical label)."""
+    canonical label). Raises :class:`ComponentsNotConverged` instead of
+    returning partially-propagated labels."""
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -47,6 +56,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
+        changed = 0
         for _ in range(max_iters):
             nbr = edges.join(
                 labels.withColumnRenamed("node", "b"), "b"
@@ -67,6 +77,11 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            raise ComponentsNotConverged(
+                f"labels still changing after {max_iters} rounds "
+                f"({changed} nodes); raise max_iters"
+            )
         return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
     finally:
         edges.unpersist()
@@ -84,11 +99,15 @@ def dup_clusters(
 
 
 def dedup_by_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Corpus minus non-survivor cluster members: broadcast-join the
-    (tiny) victim list against the corpus — map-only over the big side."""
+    """Corpus minus non-survivor cluster members via left-anti join.
+
+    No broadcast hint: the victim list scales with the duplicate count
+    (a 100 TB corpus at a 30% dup rate has billions of victims — far
+    past any broadcast limit). AQE picks broadcast vs shuffle from the
+    victim table's actual size at runtime."""
     victims = (
         connected_components(pairs)
         .filter(F.col("doc_id") != F.col("component"))
         .select("doc_id")
     )
-    return documents.join(F.broadcast(victims), "doc_id", "left_anti")
+    return documents.join(victims, "doc_id", "left_anti")

@@ -90,7 +90,9 @@ def probe_dim(df: DataFrame, vec_col: str) -> int | None:
     crashing on ``first()[0]`` — a 100 TB pipeline hits empty partitions
     and empty day-slices as a matter of course)."""
     row = df.select(vec_col).first()
-    return None if row is None else len(row[0])
+    if row is None or row[0] is None:  # empty corpus, or NULL vector first
+        return None
+    return len(row[0])
 
 
 def _empty_topk(spark) -> DataFrame:
@@ -177,13 +179,28 @@ def seed_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic seed centroids: ids divisible by step and below
-    step×num_centroids (no arbitrary ``limit``)."""
+    """Deterministic seed centroids: every step-th row by id RANK
+    (two-phase global_row_number — no single-task sort), step =
+    max(1, n // num_centroids), ranks 1, 1+step, …, 1+(k-1)·step.
+
+    Rank-based (not id-value-based) so sparse or offset id spaces —
+    ids 1_000_000… — still yield num_centroids seeds; an id-modulo
+    rule silently returns zero centroids there."""
+    from .rank import global_row_number
+
     n = corpus.count()
     step = max(1, n // num_centroids)
-    return corpus.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cent")
-    ).filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * num_centroids))
+    ranked = global_row_number(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent")),
+        [F.col("cid").asc()],
+        rank_col="__rn",
+    )
+    return (
+        ranked.filter(
+            ((F.col("__rn") - 1) % step == 0)
+            & (F.col("__rn") <= 1 + (num_centroids - 1) * step)
+        ).drop("__rn")
+    )
 
 
 def _assign_cell(vec_col, cent_rows: list[tuple[int, list[float]]]):
@@ -279,11 +296,19 @@ def ivf_topk(
     cent_rows = [
         (r["cid"], [float(x) for x in r["cent"]]) for r in centroids.collect()
     ]
+    if not cent_rows:  # empty corpus → no cells → no neighbors
+        return _empty_topk(corpus.sparkSession)
     cassign = c.withColumn("cid", _assign_cell(F.col("c_vec"), cent_rows)).select(
         "neighbor_id", "c_vec", "cid"
     )
+    # the codebook is already on the driver — rebuild the broadcast side
+    # from it instead of re-evaluating the centroids plan (which would
+    # rescan the corpus a second time)
+    cent_df = corpus.sparkSession.createDataFrame(
+        cent_rows, "cid long, cent array<double>"
+    )
     qassign = (
-        q.crossJoin(F.broadcast(centroids))
+        q.crossJoin(F.broadcast(cent_df))
         .withColumn("sim", round6(_dot(F.col("q_vec"), F.col("cent"))))
         .withColumn(
             "r",

@@ -86,6 +86,10 @@ def build_stats_distributed(
     import pandas as pd
 
     num_ranks = qrank_df.count()
+    if num_ranks == 0:
+        # the kernel's scale_x division needs num_ranks > 0; an empty
+        # qrank table is a valid (if degenerate) build
+        return {"Median": 0, "Samples": []}
     ordered = (
         qrank_df.repartitionByRange(1, "rank")
         .sortWithinPartitions("rank")

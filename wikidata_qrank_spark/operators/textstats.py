@@ -158,3 +158,25 @@ def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
         cur = F.regexp_replace(cur, pat, repl)
     keep = [c for c in documents.columns if c != text_col]
     return documents.select(*keep, cur.alias("clean"), *counts)
+
+
+# Shared derivation for the PII gate query and benchmark: deterministic
+# PII-shaped contact strings keyed by doc id. CONTACT_SQL is the DuckDB
+# twin the oracle generator embeds — one module owns both so the Spark
+# expression, the benchmark workload, and the oracle cannot drift.
+CONTACT_SQL = (
+    "'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com call "
+    "+1-555-4242 see https://ex.example.com/d/' || CAST(doc_id AS VARCHAR)"
+    " || ' ref 9' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+)
+
+
+def inject_contact(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text) with the injected contact string (see CONTACT_SQL)."""
+    sid = F.col(id_col).cast("string")
+    contact = F.concat(
+        F.lit("user"), sid, F.lit("@mail.example.com call +1-555-4242 see "),
+        F.lit("https://ex.example.com/d/"), sid,
+        F.lit(" ref 9"), F.lpad(sid, 8, "0"),
+    )
+    return documents.select(id_col, contact.alias("text"))

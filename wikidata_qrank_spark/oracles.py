@@ -701,8 +701,12 @@ WITH params AS (
   SELECT greatest(1, count(*) // 16) AS step FROM embeddings
 ),
 centroids AS (
-  SELECT vec_id AS cid, embedding AS cent FROM embeddings, params
-  WHERE vec_id % step = 0 AND vec_id < step * 16
+  SELECT cid, cent FROM (
+    SELECT vec_id AS cid, embedding AS cent,
+           row_number() OVER (ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) ranked, params
+  WHERE (rn - 1) % step = 0 AND rn <= 1 + 15 * step
 ),
 cassign AS (
   SELECT neighbor_id, cv, cid FROM (
@@ -815,14 +819,9 @@ HAVING count(*) >= 2
 def _pii_sql() -> str:
     """Mirror of the scrub_pii sequential count-then-replace policy,
     generated from the same PII_PATTERNS so patterns cannot drift."""
-    from .operators.textstats import PII_PATTERNS
+    from .operators.textstats import CONTACT_SQL, PII_PATTERNS
 
-    base = (
-        "'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com call "
-        "+1-555-4242 see https://ex.example.com/d/' || CAST(doc_id AS VARCHAR)"
-        " || ' ref 9' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
-    )
-    cur = base
+    cur = CONTACT_SQL
     counts = []
     for name, pat, repl in PII_PATTERNS:
         counts.append(

@@ -114,7 +114,15 @@ class ArtifactServer:
         }
         inm = headers.get("if-none-match")
         if inm is not None:
-            candidates = {c.strip().strip('"') for c in inm.split(",")}
+            # RFC 7232 §3.2: If-None-Match uses WEAK comparison — strip
+            # any W/ prefix before unquoting (intermediaries like nginx
+            # gzip weaken ETags)
+            candidates = set()
+            for c in inm.split(","):
+                c = c.strip()
+                if c.startswith("W/"):
+                    c = c[2:]
+                candidates.add(c.strip('"'))
             if "*" in candidates or etag in candidates:
                 return 304, out, None
         if method == "HEAD":

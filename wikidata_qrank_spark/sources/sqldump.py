@@ -189,13 +189,21 @@ def parse_create_columns(toks: Iterator[tuple[str, str]]) -> list[str]:
                     return columns
             return columns
         columns.append(txt)
+        # Skip the column definition up to the NEXT top-level ',' or the
+        # closing ')'. Deviation from sqlreader.go:147-166: the reference
+        # also returns on a comma INSIDE parens, which truncates the
+        # column list on enum('a','b')/decimal(10,2) types (real
+        # MediaWiki categorylinks/image tables); here commas only
+        # terminate at depth 0.
         depth = 0
         for kind2, _ in toks:
             if kind2 == _LPAREN:
                 depth += 1
             elif kind2 == _RPAREN and depth > 0:
                 depth -= 1
-            elif kind2 == _COMMA or (kind2 == _RPAREN and depth == 0):
+            elif (kind2 == _COMMA and depth == 0) or (
+                kind2 == _RPAREN and depth == 0
+            ):
                 break
 
 
