@@ -85,10 +85,15 @@ def kg_partials(
             wbytes: dict[int, int] = {}
             cdocs: dict[int, int] = {}
             media: dict[int, int] = {}
-            chars = pdf[chars_col] if signals else None
-            for row_i, text in enumerate(pdf[text_col]):
+            texts = pdf[text_col].tolist()
+            # .tolist() once per batch — Series.iloc per row is the
+            # dominant Python cost at millions of docs
+            chars = pdf[chars_col].tolist() if signals else [0] * len(texts)
+            for text, nc in zip(texts, chars):
                 prev = None
-                doc_items: set[int] = set()
+                # per-doc item set only in signals mode — the lean
+                # kernel (the scaling benchmark) stays allocation-free
+                doc_items: set[int] | None = set() if signals else None
                 for pos, tok in enumerate(text.split(" ")):
                     if pos % MEDIA_MOD == MEDIA_PHASE:
                         if signals:
@@ -100,14 +105,15 @@ def kg_partials(
                     if item is None:
                         continue
                     counts[item] = counts.get(item, 0) + 1
-                    doc_items.add(item)
+                    if doc_items is not None:
+                        doc_items.add(item)
                     if prev is not None and prev != item:
                         edges.add((prev, item))
                     prev = item
                 if signals and doc_items:
-                    nc = int(chars.iloc[row_i])
+                    nci = int(nc)
                     for item in doc_items:
-                        wbytes[item] = wbytes.get(item, 0) + nc
+                        wbytes[item] = wbytes.get(item, 0) + nci
                         cdocs[item] = cdocs.get(item, 0) + 1
             tags = ["v"] * len(counts) + ["e"] * len(edges)
             a = [*counts.keys()] + [e[0] for e in edges]
