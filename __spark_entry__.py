@@ -232,6 +232,12 @@ def _td_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.06)
 
 
+def _td_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_documents(spark, sf_dir), k=3)
+
+
 def _td_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components (iterative min-label
     propagation) over the jaccard candidate pairs; the oracle closes the
@@ -428,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_quality"] = _td_quality
     out["td_language_id"] = _td_language_id
     out["td_ngram_jaccard"] = _td_ngram_jaccard
+    out["td_tfidf_top_terms"] = _td_tfidf_top_terms
     out["td_dup_clusters"] = _td_dup_clusters
     out["td_contamination"] = _td_contamination
     out["td_pii_scrub"] = _td_pii_scrub

@@ -92,3 +92,27 @@ def test_ngram_contamination_flags_overlap(spark):
     }
     # shared 3-grams: 'quick brown fox', 'brown fox jumps'
     assert got == {(1, 100): 2}
+
+
+def test_tfidf_top_terms(spark):
+    """Doc-discriminating terms outrank ubiquitous ones; k per doc."""
+    from wikidata_qrank_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "cherry common common"),
+            (3, "banana cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.term_rank, r.term, r.score))
+    assert all(len(v) == 2 for v in by_doc.values())
+    # 'common' appears in every doc → idf = ln(1) = 0 → never top where
+    # any rarer term exists
+    top1 = {d: sorted(v)[0][1] for d, v in by_doc.items()}
+    assert top1[1] == "apple" and top1[2] == "cherry"
+    assert all(s >= 0 for v in by_doc.values() for _, _, s in v)

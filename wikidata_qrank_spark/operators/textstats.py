@@ -180,3 +180,39 @@ def inject_contact(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.lit(" ref 9"), F.lpad(sid, 8, "0"),
     )
     return documents.select(id_col, contact.alias("text"))
+
+
+def tfidf_top_terms(
+    documents: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf, score, term_rank) — top-k terms per document
+    by tf·idf (idf = ln(N/df), natural log in both engines; round6
+    absorbs last-ulp libm differences).
+
+    Plan shape: one explode → per-(doc, term) count (partial agg), df
+    per term on the aggregated table (terms ≪ tokens), idf joined back
+    BROADCAST (term dimension), per-doc top-k window. The corpus text
+    never shuffles — only (doc, term, tf) rows do."""
+    from pyspark.sql import Window
+
+    from ..functions.precision import round6
+
+    n_docs = documents.count()
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", round6(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "score", "term_rank")
+    )

@@ -464,6 +464,28 @@ SELECT event_type,
 FROM parsed GROUP BY event_type
 """
 
+ORACLES["td_tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE length(term) > 0 GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         floor(t.tf * ln(n.n_docs / d.df) * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS BIGINT) AS term_rank
+FROM scored
+QUALIFY term_rank <= 3
+"""
+
 ORACLES["ev_quantiles"] = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
