@@ -47,6 +47,24 @@ def test_extract_features_tolerates_corrupt_payload(spark):
     assert got == {0: True, 1: False}
 
 
+def test_extract_features_float64_rounding(spark):
+    """Features must be float64 end to end: byte 0x50 ('P') is 80/255 =
+    0.3137254901…, which rounds (1e-6, half-up) to 0.313725 in float64
+    but to 0.313726 through a float32 intermediate — exactly the class
+    of byte the oracle's ord()/255.0 check would catch."""
+    df = spark.createDataFrame(
+        [("d1", 0, "PPPPPPPP", bytearray(b"PPPPPPPP"))],
+        "doc_id string, offset int, media_ref string, payload binary",
+    )
+    feats = extract_features(df)
+    assert dict(feats.dtypes)["feature"] == "array<double>"
+    row = feats.first()
+    import math
+
+    for v in row.feature:
+        assert math.floor(v * 1e6 + 0.5) / 1e6 == 0.313725
+
+
 def test_frame_sample_keeps_every_nth(spark):
     m = _media(spark)
     sampled = frame_sample(m, every_nth=3)

@@ -65,7 +65,9 @@ def test_train_centroids_refines_and_ivf_accepts_them(spark):
     seeds = seed_centroids(embeddings, num_centroids=8)
     assert seeds.count() == 8
     trained = train_centroids(embeddings, num_centroids=8, iters=2)
-    assert trained.count() <= 8  # empty cells may drop
+    # empty cells carry their previous centroid forward, so the codebook
+    # never shrinks below the requested size
+    assert trained.count() == 8
     # trained centroids differ from the raw seeds (Lloyd moved them)
     joined = trained.join(seeds, "cid").count()
     assert trained.schema["cent"].dataType.simpleString() == "array<double>"
@@ -89,6 +91,38 @@ def test_empty_corpus_is_survivable(spark):
     assert train_centroids(empty, num_centroids=4, iters=1).count() == 0
     assert embedding_near_dups(empty, threshold=0.5).count() == 0
     assert ivf_topk(empty, empty, k=3).count() == 0
+
+
+def test_probe_dim_skips_null_vectors(spark):
+    """One NULL vector at the head of the corpus must not empty the
+    LSH/IVF output (probe_dim skips nulls instead of returning None)."""
+    from wikidata_qrank_spark.operators.similarity import probe_dim
+
+    vecs = [(0, None), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    assert probe_dim(df, "embedding") == 2
+    res = lsh_bucketed_topk(
+        df.filter(F.col("embedding").isNotNull()),
+        df.filter(F.col("vec_id") == 1),
+        k=2,
+        nbits=2,
+        num_tables=4,
+    )
+    assert res.count() > 0
+
+
+def test_train_centroids_carries_empty_cells(spark):
+    """Duplicate seed centroids tie every assignment to the lowest cid,
+    leaving the duplicates' cells empty — the codebook must keep its
+    size by carrying the unassigned centroid forward, not shrink."""
+    from wikidata_qrank_spark.operators.similarity import train_centroids
+
+    vecs = [(i, [1.0, 0.0]) for i in range(50)] + [
+        (100 + i, [0.0, 1.0]) for i in range(50)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    trained = train_centroids(df, num_centroids=4, iters=2)
+    assert trained.count() == 4
 
 
 def test_seed_centroids_sparse_id_space(spark):

@@ -160,6 +160,20 @@ def test_parse_error_on_junk_values():
         )
 
 
+def test_parse_error_on_truncated_values():
+    """EOF inside an open VALUES statement must raise, not silently drop
+    the statement's remaining tuples (e.g. a multi-line INSERT read
+    line-by-line, or a truncated dump)."""
+    from wikidata_qrank_spark.sources.sqldump import iter_insert_rows, lex_sql
+
+    # ends right after a closing ')' with the statement still open
+    with pytest.raises(SQLDumpParseError, match="unterminated VALUES"):
+        list(iter_insert_rows(lex_sql("INSERT INTO `t` VALUES (1,'a')")))
+    # ends mid-tuple
+    with pytest.raises(SQLDumpParseError):
+        list(iter_insert_rows(lex_sql("INSERT INTO `t` VALUES (1,'a'),(2,")))
+
+
 def test_read_sql_dump_distributed(spark, tmp_path):
     p = tmp_path / "rmwiki-page_props.sql"
     p.write_text(PAGE_PROPS_SQL, encoding="utf-8")

@@ -122,11 +122,20 @@ def make_normalize_title_udf():
     return norm_title
 
 
+# DELIBERATE deviation from the reference's packed form: util.go:35
+# uses bit 63 (lexemeMask 0x8000000000000000) in a Go uint64; Spark's
+# LongType is a signed int64, where bit 63 flips ids negative and
+# breaks min/ordering aggregation semantics everywhere downstream. We
+# use bit 62 instead — same information, internally consistent
+# round-trip (parse_item/id_to_item) — so packed ids are NOT
+# bit-interchangeable with reference-format packed ids; the rendered
+# 'Q…'/'L…' strings are.
 _LEXEME_FLAG = 1 << 62
 
 
 def parse_item(s: str) -> int | None:
-    """'Q72' → 72; 'L9' → 9 | lexeme flag; junk → None (util.go:37-60)."""
+    """'Q72' → 72; 'L9' → 9 | lexeme flag (bit 62, see _LEXEME_FLAG
+    note — the reference packs bit 63, util.go:37-60); junk → None."""
     if not s or len(s) < 2:
         return None
     head, tail = s[0], s[1:]

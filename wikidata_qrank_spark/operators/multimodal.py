@@ -30,7 +30,7 @@ FEATURE_DIM = 8
 
 FEATURES_SCHEMA = (
     "doc_id string, offset int, media_ref string, "
-    f"feature array<float>, decoded_ok boolean"
+    "feature array<double>, decoded_ok boolean"
 )
 
 
@@ -65,10 +65,15 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     → resize → np.asarray. Not available in this container, so derive a
     FEATURE_DIM float vector from the payload bytes. Raises on empty
     payload the way a real decoder raises on truncated files.
+
+    float64 end-to-end: the feature is byte/255.0 and downstream gate
+    checks round to 1e-6 — a float32 intermediate truncates bytes like
+    0x50 (80/255) to 0.31372549_f32, which rounds to 0.313726 while the
+    float64 oracle value rounds to 0.313725.
     """
     if not payload:
         raise ValueError("empty media payload")
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     reps = -(-FEATURE_DIM // len(arr))
     return np.resize(np.tile(arr, reps), FEATURE_DIM) / 255.0
 

@@ -85,12 +85,14 @@ def brute_force_topk(
 
 
 def probe_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Embedding dimensionality from one row; None for an empty corpus
-    (callers return an empty, correctly-typed result instead of
-    crashing on ``first()[0]`` — a 100 TB pipeline hits empty partitions
-    and empty day-slices as a matter of course)."""
-    row = df.select(vec_col).first()
-    if row is None or row[0] is None:  # empty corpus, or NULL vector first
+    """Embedding dimensionality from the first NON-NULL vector; None for
+    a corpus with no vectors at all (callers return an empty,
+    correctly-typed result instead of crashing on ``first()[0]`` — a
+    100 TB pipeline hits empty partitions and empty day-slices as a
+    matter of course). Null rows are skipped, not fatal: one NULL vector
+    at the head of the corpus must not empty the whole LSH/IVF output."""
+    row = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if row is None:
         return None
     return len(row[0])
 
@@ -254,10 +256,14 @@ def train_centroids(
         means = assigned.groupBy("cid").agg(
             *[round6(F.avg(F.col("__v")[i])).alias(f"__m{i}") for i in range(dim)]
         )
-        cent_rows = [
-            (r["cid"], [float(r[f"__m{i}"]) for i in range(dim)])
+        new = {
+            r["cid"]: [float(r[f"__m{i}"]) for i in range(dim)]
             for r in means.collect()
-        ]
+        }
+        # a cid with no assignments produces no mean row; carry its
+        # previous centroid forward instead of silently shrinking the
+        # codebook (ivf_topk would then probe fewer cells than asked)
+        cent_rows = [(cid, new.get(cid, vec)) for cid, vec in cent_rows]
     return spark.createDataFrame(cent_rows, "cid long, cent array<double>")
 
 

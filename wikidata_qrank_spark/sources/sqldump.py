@@ -250,7 +250,16 @@ def iter_insert_rows(toks: Iterator[tuple[str, str]]) -> Iterator[list[str]]:
             if kind == _SEMI:
                 statement_open = False
             elif kind is None:
-                return
+                # EOF with the VALUES statement still open: the input was
+                # truncated (or the INSERT spans input units, e.g. lines
+                # in the line-parallel scan). Returning silently here
+                # would drop every remaining tuple of the statement —
+                # fail loudly so callers switch to read_sql_dump_whole.
+                raise SQLDumpParseError(
+                    "EOF inside an unterminated VALUES statement "
+                    "(truncated input, or a multi-line INSERT read "
+                    "line-by-line — use read_sql_dump_whole)"
+                )
             else:
                 raise SQLDumpParseError(f"expected ',' or ';', got {kind}")
 
@@ -293,7 +302,11 @@ def read_sql_dump(
     line parses independently inside ``mapPartitions`` — no single-task
     stage over the body. Pass ``columns`` to skip the driver header
     probe (e.g. reading a glob of per-wiki dumps with a known schema).
-    Falls back to :func:`read_sql_dump_whole` for non-line-oriented SQL.
+
+    Non-line-oriented SQL (an INSERT spanning lines) fails loudly with
+    :class:`SQLDumpParseError` ("EOF inside an unterminated VALUES
+    statement") rather than silently truncating — switch to
+    :func:`read_sql_dump_whole` (one task per file) for such inputs.
     """
     cols = columns or read_dump_columns(path)
     ncols = len(cols)
