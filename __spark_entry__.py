@@ -249,6 +249,21 @@ def _td_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _td_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE dedup pipeline as one composition: md5 minhash banded
+    LSH candidates → exact Jaccard verified on candidates only →
+    connected components — no quadratic stage anywhere (the exact
+    shingle self-join of td_ngram_jaccard stays a verification kernel,
+    never a scale path). Runs over the near-dup-injected corpus
+    (deterministic, oracle-mirrored) since the synthetic corpus has no
+    organic near-dups."""
+    from wikidata_qrank_spark.operators.clusters import dup_clusters_scaled
+    from wikidata_qrank_spark.operators.dedup import inject_near_dups
+
+    docs = inject_near_dups(_documents(spark, sf_dir))
+    return dup_clusters_scaled(docs, threshold=0.5, hash_family="md5")
+
+
 def _td_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage check: bench set = doc_id % 97 == 0, train =
     the rest; ≥2 shared distinct 3-grams flags a (train, bench) pair."""
@@ -436,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_ngram_jaccard"] = _td_ngram_jaccard
     out["td_tfidf_top_terms"] = _td_tfidf_top_terms
     out["td_dup_clusters"] = _td_dup_clusters
+    out["td_dup_clusters_lsh"] = _td_dup_clusters_lsh
     out["td_contamination"] = _td_contamination
     out["td_pii_scrub"] = _td_pii_scrub
     out["td_minhash_pairs"] = _td_minhash_pairs

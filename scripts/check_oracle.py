@@ -44,6 +44,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     qs = entrymod.queries()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown query keys: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     sqls = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -73,8 +78,6 @@ def main() -> int:
                 print("  duck-only:", list(d_set - s_set)[:5])
         else:
             print(f"{name}: OK rows={len(srows)}")
-    if only:
-        pass
     spark.stop()
     return 1 if failures else 0
 

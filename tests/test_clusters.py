@@ -57,3 +57,70 @@ def test_components_raise_when_not_converged(spark):
     edges = [(i, i + 1) for i in range(1, 9)]  # diameter 8 path
     with pytest.raises(ComponentsNotConverged):
         connected_components(_pairs(spark, edges), max_iters=2).collect()
+
+
+def test_dup_clusters_scaled_matches_exact_kernel(spark):
+    """The composed scale pipeline (LSH candidates → exact-Jaccard
+    verify on candidates only → CC) must find the same clusters as the
+    exact shingle self-join on a corpus of true near-dups: high-Jaccard
+    pairs are LSH candidates with probability ≈1 at 8×4 banding, and
+    the verification stage is the same Jaccard, so outputs coincide."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.operators.clusters import (
+        connected_components,
+        dup_clusters_scaled,
+    )
+    from wikidata_qrank_spark.operators.dedup import (
+        inject_near_dups,
+        jaccard_verify_candidates,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base + " alpha beta gamma"),
+        (2, base + " alpha beta delta"),   # near-dup of 1
+        (3, base + " alpha beta gamma x"), # near-dup of 1 and 2
+        (10, " ".join(f"other{i}" for i in range(40))),
+        (11, " ".join(f"other{i}" for i in range(39)) + " tail"),  # near-dup of 10
+        (20, " ".join(f"lone{i}" for i in range(40))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact_cc = {
+        (r.doc_id, r.component)
+        for r in connected_components(
+            ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        ).collect()
+    }
+    scaled_cc = {
+        (r.doc_id, r.component)
+        for r in dup_clusters_scaled(docs, threshold=0.5).collect()
+    }
+    assert scaled_cc == exact_cc
+    assert {1, 2, 3, 10, 11} == {d for d, _ in scaled_cc}
+
+    # verified candidates are a SUBSET of the exact pair set (the LSH
+    # stage can only lose candidates, never invent high-Jaccard pairs)
+    cand = minhash_lsh_pairs(docs)
+    verified = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_verify_candidates(docs, cand, threshold=0.5).collect()
+    }
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert verified <= exact_pairs
+
+    # injection derives a near-dup for every doc_id % every == 0
+    injected = inject_near_dups(docs, every=10)
+    assert injected.count() == len(rows) + 2  # ids 10 and 20 gain copies
+    # and the injected copy is a true near-dup: clustering the injected
+    # corpus groups each original with its +10M copy
+    inj_cc = {
+        (r.doc_id, r.component)
+        for r in dup_clusters_scaled(injected, threshold=0.5).collect()
+    }
+    assert (10_000_020, 20) in inj_cc

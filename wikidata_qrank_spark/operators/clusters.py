@@ -98,6 +98,49 @@ def dup_clusters(
     return cc.withColumn("is_survivor", F.col("doc_id") == F.col("component"))
 
 
+def dup_clusters_scaled(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, component) — the 100 TB near-dup clustering pipeline as
+    ONE composition:
+
+        minhash banded LSH  →  exact Jaccard verify ON CANDIDATES ONLY
+                            →  connected components
+
+    No stage is quadratic in corpus size: LSH shuffles on (band,
+    bucket), verification is linear in candidates × doc length (never
+    the hot-shingle self-join of ``ngram_jaccard_pairs``), and label
+    propagation runs over the verified EDGE set only (|E| ≪ corpus).
+    ``hash_family='md5'`` makes the whole composition value-checkable by
+    the DuckDB oracle end to end; 'xxhash64' is the faster scale path.
+    """
+    from .dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_ROWS_PER_BAND,
+        jaccard_verify_candidates,
+        minhash_lsh_pairs,
+    )
+
+    cand = minhash_lsh_pairs(
+        documents,
+        text_col,
+        shingle_n,
+        bands or DEFAULT_BANDS,
+        rows_per_band or DEFAULT_ROWS_PER_BAND,
+        hash_family,
+    )
+    verified = jaccard_verify_candidates(
+        documents, cand, text_col, shingle_n, threshold
+    )
+    return connected_components(verified)
+
+
 def dedup_by_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     """Corpus minus non-survivor cluster members via left-anti join.
 

@@ -120,6 +120,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify_candidates(
+    documents: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact n-gram Jaccard computed ONLY for
+    the given candidate pairs (the verification stage of the scale dedup
+    pipeline; candidates come from ``minhash_lsh_pairs``).
+
+    Unlike the shingle self-join in :func:`ngram_jaccard_pairs` (cost ∝
+    Σ per-shingle freq², quadratic on hot shingles), this joins the
+    candidate list against each side's shingle set: intermediate size =
+    Σ_candidates |shingles(doc_a)| — linear in candidates × doc length,
+    independent of shingle popularity. Shuffle keys: doc_a, then
+    (doc_b, shingle). This is the composition that holds at 100 TB.
+    """
+    sh = _shingles(documents, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    cand = candidates.select("doc_a", "doc_b")
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            round6(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     bench: DataFrame,
@@ -140,6 +183,30 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
     )
+
+
+def inject_near_dups(
+    documents: DataFrame,
+    text_col: str = "text",
+    every: int = 50,
+    id_offset: int = 10_000_000,
+) -> DataFrame:
+    """Deterministic near-duplicate injection (gate/validation runs):
+    for every doc with doc_id % every == 0, append a copy under
+    doc_id + id_offset with the last two tokens dropped — Jaccard vs the
+    original ≈ (T-4)/(T-2), i.e. a true near-dup. Both engines derive
+    the same corpus (the oracle mirrors this expression), the same
+    pattern as the PII injection: the synthetic corpus has no organic
+    near-dups, so without injection an end-to-end dedup check is
+    vacuous."""
+    toks = F.split(F.col(text_col), " ")
+    trunc = F.array_join(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+    )
+    dups = documents.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"), trunc.alias(text_col)
+    )
+    return documents.select("doc_id", text_col).unionByName(dups)
 
 
 # --------------------------------------------------------------- minhash

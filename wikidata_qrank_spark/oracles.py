@@ -817,6 +817,76 @@ SELECT node AS doc_id, least(node, min(r)) AS component
 FROM reach GROUP BY node
 """
 
+# The composed SCALE pipeline, end to end: md5 minhash banded LSH
+# candidates → exact Jaccard verified ON CANDIDATES ONLY → recursive-CTE
+# transitive closure (vs the engine's label propagation). Runs over the
+# near-dup-injected corpus (inject_near_dups mirror: docs with
+# doc_id % 50 = 0 gain a copy at +10000000 with the last two tokens
+# dropped), since the synthetic corpus has no organic near-dups.
+ORACLES["td_dup_clusters_lsh"] = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+toks AS (
+  SELECT doc_id, l FROM base
+  UNION ALL
+  SELECT doc_id + 10000000,
+         string_split(array_to_string(l[1:greatest(len(l) - 2, 1)], ' '), ' ')
+  FROM base WHERE doc_id % 50 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                 i -> array_to_string(l[i:i+2], ' '))) AS gram
+    FROM toks
+  ) WHERE length(gram) > 0
+),
+sig AS (
+  SELECT doc_id,
+         {_mh_mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_mh_banded}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE floor(CAST(i.n_inter AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, b AS r FROM sym
+  UNION
+  SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a
+)
+SELECT node AS doc_id, least(node, min(r)) AS component
+FROM reach GROUP BY node
+"""
+
 ORACLES["td_contamination"] = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS l FROM documents
