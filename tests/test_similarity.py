@@ -137,3 +137,73 @@ def test_seed_centroids_sparse_id_space(spark):
     res = ivf_topk(df, df.limit(2), k=3, num_centroids=8)
     per_q = res.groupBy("query_id").count().collect()
     assert len(per_q) == 2 and all(r["count"] == 3 for r in per_q)
+
+
+def test_kernel_matches_literal_assign_and_bucket(spark):
+    """The broadcast-numpy kernel and the literal Catalyst expression
+    must be bit-identical: same fold-ordered dots, same 1e-6 rounding,
+    same first-max tiebreak — on the real gate embeddings."""
+    from wikidata_qrank_spark.operators.similarity import (
+        assign_cells,
+        lsh_bucket,
+        probe_dim,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (r["cid"], [float(x) for x in r["cent"]])
+        for r in seed_centroids(emb, num_centroids=8).collect()
+    ]
+    base = emb.select("vec_id", F.col("embedding").alias("__v"))
+    lit = {
+        r.vec_id: r.cid
+        for r in assign_cells(base, "__v", cents, impl="literal").collect()
+    }
+    ker = {
+        r.vec_id: r.cid
+        for r in assign_cells(base, "__v", cents, impl="kernel").collect()
+    }
+    assert lit == ker
+    dim = probe_dim(emb, "embedding")
+    for seed in (1, 3):
+        blit = {
+            r.vec_id: r.b
+            for r in emb.select(
+                "vec_id",
+                lsh_bucket(emb, "embedding", 8, seed, dim, impl="literal").alias("b"),
+            ).collect()
+        }
+        bker = {
+            r.vec_id: r.b
+            for r in emb.select(
+                "vec_id",
+                lsh_bucket(emb, "embedding", 8, seed, dim, impl="kernel").alias("b"),
+            ).collect()
+        }
+        assert blit == bker
+
+
+def test_kernel_scales_to_wide_codebooks(spark):
+    """dim 256 × k 256 (65 536 constants) — the regime where the literal
+    expression tree bloats the Catalyst plan; impl='auto' must route to
+    the broadcast kernel and assign every row, and 32-bit LSH bucketing
+    at dim 256 must likewise run as a kernel projection."""
+    import numpy as np
+
+    from wikidata_qrank_spark.operators.similarity import assign_cells, lsh_bucket
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 1000, 256, 256
+    vecs = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(k)]
+    out = assign_cells(df, "embedding", cents)  # auto -> kernel
+    assert out.count() == n
+    assert out.filter(F.col("cid").isNull()).count() == 0
+    assert out.select("cid").distinct().count() > 10
+    b = df.select(lsh_bucket(df, "embedding", 32, 1, dim).alias("b"))  # auto -> kernel
+    assert b.filter(F.col("b").isNotNull()).count() == n

@@ -10,15 +10,24 @@
   re-rank inside buckets. Multiple hash tables raise recall.
 * ``ivf_topk`` — IVF: deterministic seed centroids (oracle-checkable)
   or a ``train_centroids`` Lloyd-refined codebook; probe the ``nprobe``
-  nearest cells only. Training assigns cells MAP-ONLY (centroid
-  literals inlined, ``_assign_cell``) — one shuffle per Lloyd
-  iteration, the clusters×1-row mean aggregation.
+  nearest cells only. Training assigns cells MAP-ONLY — one shuffle per
+  Lloyd iteration, the clusters×1-row mean aggregation.
+
+Cell assignment and LSH bucketing each have two bit-identical physical
+forms behind ``impl='auto'``: a literal Catalyst expression (whole-stage
+codegen, zero Python — right while k×dim / nbits×dim literals stay
+small) and a broadcast-numpy Arrow kernel (right at real embedding
+scale, where a dim-768 × k-65536 literal tree would bloat the plan past
+codegen limits). Same constants, same fold-ordered dots, same 1e-6
+rounding and tiebreaks — so the DuckDB oracles hold for either form.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,6 +112,116 @@ def _empty_topk(spark) -> DataFrame:
     )
 
 
+# Literal expression trees embed k×dim (or nbits×dim) float constants in
+# the Catalyst plan — the right zero-shuffle trick at gate scale, but at
+# real embedding scale (dim 768, k 4096–65536, 8 tables) the PLAN itself
+# becomes the bottleneck: multi-MB expression trees, codegen limits.
+# Above this constant-count threshold the same math runs as a
+# broadcast-numpy Arrow kernel instead (same rounded values, same
+# tiebreaks — the oracle constants are unchanged).
+LITERAL_EXPR_LIMIT = 4096
+
+
+def _fold_dots(vecs, mats):
+    """(n×dim float64) · (k×dim float64)ᵀ → n×k dot products with STRICT
+    left-fold accumulation over the dim axis — bit-for-bit the fold
+    ``F.aggregate(zip_with(...), 0.0, acc+v)`` computes. BLAS matmul
+    reorders the sum (pairwise/SIMD), which can flip the 1e-6 rounding
+    on knife-edge values and break cross-impl/oracle parity. Vectorized
+    across rows×cells; dim sequential iterations."""
+    acc = np.zeros((vecs.shape[0], mats.shape[0]), dtype=np.float64)
+    for j in range(vecs.shape[1]):
+        acc += vecs[:, j : j + 1] * mats[:, j]
+    return acc
+
+
+def _round6_np(x):
+    return np.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _stack_f64(values) -> "object":
+    return np.stack([np.asarray(v, dtype=np.float64) for v in values])
+
+
+def _lsh_bucket_kernel(df: DataFrame, vec_col: str, nbits: int, table_seed: int, dim: int):
+    """Broadcast-numpy form of the literal ``lsh_bucket`` expression:
+    the nbits×dim hyperplane matrix ships once per executor via a Spark
+    broadcast instead of nbits×dim literals in the plan; the Arrow
+    kernel computes the identical fold-ordered dots, so bucket ids are
+    bit-equal to the literal form. NULL vectors get bucket 0, exactly
+    like the literal expression (``F.when(null > 0, ...)`` falls through
+    to otherwise(0))."""
+    planes = np.array(
+        [_hyperplane(dim, table_seed * 97 + bit + 1) for bit in range(nbits)],
+        dtype=np.float64,
+    )
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+    b_planes = df.sparkSession.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vecs), dtype=np.int64)
+        mask = vecs.notna().to_numpy()
+        if mask.any():
+            arr = _stack_f64(vecs[mask])
+            signs = _fold_dots(arr, b_planes.value) > 0
+            out[mask] = signs @ weights
+        return pd.Series(out)
+
+    return bucket(F.col(vec_col))
+
+
+def make_assign_cells_udf(spark, cent_rows: list[tuple[int, list[float]]]):
+    """Broadcast-numpy form of ``_assign_cell``: the k×dim codebook
+    ships as a Spark broadcast; per Arrow batch, fold-ordered dots →
+    round6 → first-max argmax over cid-ascending columns (np.argmax
+    returns the FIRST max — the same lowest-cid tiebreak as
+    array_position-of-array_max). NULL vectors → NULL cid, like the
+    literal expression."""
+    ordered = sorted(cent_rows, key=lambda r: r[0])
+    cids = np.array([int(c) for c, _ in ordered], dtype=np.int64)
+    mat = np.array([list(v) for _, v in ordered], dtype=np.float64)
+    b_cids = spark.sparkContext.broadcast(cids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    @F.pandas_udf("long")
+    def assign(vecs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=object)
+        out[:] = None
+        mask = vecs.notna().to_numpy()
+        if mask.any():
+            arr = _stack_f64(vecs[mask])
+            sims = _round6_np(_fold_dots(arr, b_mat.value))
+            out[mask] = b_cids.value[np.argmax(sims, axis=1)]
+        return pd.Series(out)
+
+    return assign
+
+
+def assign_cells(
+    df: DataFrame,
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+    out: str = "cid",
+    impl: str = "auto",
+) -> DataFrame:
+    """Map-only nearest-cell assignment. ``impl='auto'`` picks the
+    literal expression for small codebooks (plan stays whole-stage
+    codegen'd, zero Python) and the broadcast-numpy kernel when
+    k×dim literals would bloat the Catalyst plan; both produce
+    identical cids (same rounding, same tiebreak)."""
+    k = len(cent_rows)
+    dim = len(cent_rows[0][1]) if cent_rows else 0
+    if impl == "auto":
+        impl = "literal" if k * dim <= LITERAL_EXPR_LIMIT else "kernel"
+    if impl == "kernel":
+        udf = make_assign_cells_udf(df.sparkSession, cent_rows)
+        return df.withColumn(out, udf(F.col(vec_col)))
+    if impl != "literal":
+        raise ValueError(f"unknown impl: {impl!r}")
+    return df.withColumn(out, _assign_cell(F.col(vec_col), cent_rows))
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit hyperplane (pure Python, tiny)."""
     vals = []
@@ -114,14 +233,31 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return [v / n for v in vals]
 
 
-def lsh_bucket(df: DataFrame, vec_col: str, nbits: int, table_seed: int, dim: int | None = None):
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    nbits: int,
+    table_seed: int,
+    dim: int | None = None,
+    impl: str = "auto",
+):
     """Signed random-projection bucket id (0..2^nbits-1) as a column.
     Pass ``dim`` to avoid a driver action per call (callers looping over
-    hash tables should probe the dimension once)."""
+    hash tables should probe the dimension once). ``impl='auto'`` keeps
+    the literal hyperplane expression while nbits×dim stays small and
+    switches to the broadcast-numpy kernel past LITERAL_EXPR_LIMIT —
+    identical buckets either way (same hyperplane constants, same
+    fold-ordered dots)."""
     if dim is None:
         dim = probe_dim(df, vec_col)
         if dim is None:
             raise ValueError("empty corpus: cannot probe LSH dimension")
+    if impl == "auto":
+        impl = "literal" if nbits * dim <= LITERAL_EXPR_LIMIT else "kernel"
+    if impl == "kernel":
+        return _lsh_bucket_kernel(df, vec_col, nbits, table_seed, dim)
+    if impl != "literal":
+        raise ValueError(f"unknown impl: {impl!r}")
     expr = F.lit(0).cast("long")
     for bit in range(nbits):
         plane = F.array(
@@ -230,6 +366,7 @@ def train_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     """Lloyd refinement of the seed centroids (the k-means step the
     round-1 IVF left as a placeholder). Per iteration: map-only
@@ -252,7 +389,7 @@ def train_centroids(
     ]
     c = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     for _ in range(iters):
-        assigned = c.withColumn("cid", _assign_cell(F.col("__v"), cent_rows))
+        assigned = assign_cells(c, "__v", cent_rows, out="cid", impl=impl)
         means = assigned.groupBy("cid").agg(
             *[round6(F.avg(F.col("__v")[i])).alias(f"__m{i}") for i in range(dim)]
         )
@@ -276,6 +413,7 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """IVF-style ANN: centroids = deterministic corpus sample (every
     Nth vector by id order — a kmeans iteration would refine them; the
@@ -304,7 +442,7 @@ def ivf_topk(
     ]
     if not cent_rows:  # empty corpus → no cells → no neighbors
         return _empty_topk(corpus.sparkSession)
-    cassign = c.withColumn("cid", _assign_cell(F.col("c_vec"), cent_rows)).select(
+    cassign = assign_cells(c, "c_vec", cent_rows, out="cid", impl=impl).select(
         "neighbor_id", "c_vec", "cid"
     )
     # the codebook is already on the driver — rebuild the broadcast side
