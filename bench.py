@@ -34,6 +34,23 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3"))
+
+
+def _timed_min(action, trials: int = QUERY_TRIALS) -> float:
+    """min-of-N wall for one query action. This host has documented
+    multi-10-second kernel stalls (see BENCH.md): a single-shot wall
+    can double on unchanged code, so round-over-round diffs must use
+    the minimum of several runs to measure the plan, not the
+    hypervisor."""
+    walls = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        action()
+        walls.append(time.perf_counter() - t0)
+    return round(min(walls), 3)
+
+
 def run_queries(cpus: int, sf_dir: str) -> dict:
     from wikidata_qrank_spark.plans.pipeline import build_graph
     from wikidata_qrank_spark.session import get_session
@@ -52,9 +69,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         "q5_text_mentions": g["text_mentions"],
     }
     for name, df in headline.items():
-        t0 = time.perf_counter()
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = _timed_min(df.count)
 
     # extended ops, if present (kept optional so bench never breaks
     # while operators are being added)
@@ -86,15 +101,21 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             "q11_contamination": _contamination,
         }
         for name, action in extended.items():
-            t0 = time.perf_counter()
-            action()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = _timed_min(action)
     except ImportError:
         pass
 
-    total = round(time.perf_counter() - t_all0, 3)
+    # total = sum of per-query minimums (comparable round over round);
+    # wall_sec = everything including the warmup repetitions
+    total = round(sum(timings.values()), 3)
+    wall = round(time.perf_counter() - t_all0, 3)
     spark.stop()
-    return {"total_sec": total, "queries": timings, "n_docs": n_docs}
+    return {
+        "total_sec": total,
+        "wall_sec": wall,
+        "queries": timings,
+        "n_docs": n_docs,
+    }
 
 
 BENCH_REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "720"))
@@ -307,6 +328,8 @@ def main() -> None:
         "value": res["total_sec"],
         "unit": "sec",
         "queries": res["queries"],
+        "query_trials": QUERY_TRIALS,
+        "wall_sec_incl_warmup": res["wall_sec"],
         "sf": _sf_label(SF_DIR),
         "n_docs": res["n_docs"],
         "cpus": cpus,

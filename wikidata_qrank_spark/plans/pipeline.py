@@ -76,14 +76,17 @@ def run_full_build(
     """
     from datetime import date
 
-    from ..operators.stats import build_stats
+    from ..operators.stats import build_stats_distributed
     from .checkpoint import LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL, build_checkpointed
     from .publish import publish
 
     g = build_checkpointed(spark, sf_dir, checkpoint_dir, code_version=code_version)
     qrank_df = g["qrank"].drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL)
     signals_df = g["item_signals"].drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL)
-    stats = build_stats(qrank_df, top_n=50, num_samples=1000)
+    # executor-side stats kernel (byte-identical to the driver form,
+    # tests/test_full_build.py): at the production 27M-row qrank table
+    # the toLocalIterator form streams every row through the driver
+    stats = build_stats_distributed(qrank_df, top_n=50, num_samples=1000)
     outputs = publish(
         out_dir,
         version or date.today(),
