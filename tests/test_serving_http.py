@@ -1,0 +1,88 @@
+"""Socket-level test of the HTTP binding: the reference webserver's
+day-one path (cmd/webserver/main.go:20-51) — GET/HEAD/304/OPTIONS/405
+over a real TCP connection."""
+
+from __future__ import annotations
+
+import http.client
+import threading
+
+
+def _start(tmp_path):
+    from wikidata_qrank_spark.plans.serving import serve_http
+
+    (tmp_path / "qrank-20240301.csv").write_bytes(b"Entity,QRank\nQ1,5\n")
+    httpd, server = serve_http(str(tmp_path), port=0, basenames=("qrank",))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, server, httpd.server_address[1]
+
+
+def test_http_get_head_304_options_405(tmp_path):
+    httpd, server, port = _start(tmp_path)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+
+        conn.request("GET", "/download/qrank.csv")
+        r = conn.getresponse()
+        body = r.read()
+        assert r.status == 200
+        assert body == b"Entity,QRank\nQ1,5\n"
+        assert r.getheader("Content-Length") == str(len(body))
+        etag = r.getheader("ETag")
+        assert etag.startswith('"') and etag.endswith('"')
+        assert r.getheader("Access-Control-Allow-Origin") == "*"
+
+        # conditional GET with the exact ETag → 304, empty body
+        conn.request("GET", "/download/qrank.csv", headers={"If-None-Match": etag})
+        r = conn.getresponse()
+        assert r.status == 304
+        assert r.read() == b""
+
+        # weak comparison (a gzip-weakened intermediary ETag) → still 304
+        conn.request(
+            "GET", "/download/qrank.csv", headers={"If-None-Match": "W/" + etag}
+        )
+        r = conn.getresponse()
+        assert r.status == 304 and r.read() == b""
+
+        conn.request("HEAD", "/download/qrank.csv")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.read() == b""
+
+        conn.request("OPTIONS", "/download/qrank.csv")
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 204
+        assert "GET" in r.getheader("Access-Control-Allow-Methods")
+
+        conn.request("POST", "/download/qrank.csv", body=b"x")
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 405
+        assert r.getheader("Allow") == "GET, HEAD, OPTIONS"
+
+        conn.request("GET", "/download/nope.csv")
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 404
+    finally:
+        httpd.shutdown()
+
+
+def test_http_serves_new_version_after_reload(tmp_path):
+    httpd, server, port = _start(tmp_path)
+    try:
+        (tmp_path / "qrank-20240401.csv").write_bytes(b"Entity,QRank\nQ2,9\n")
+        server.reload()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/download/qrank.csv")
+        r = conn.getresponse()
+        assert r.read() == b"Entity,QRank\nQ2,9\n"
+        # the dated name of the new version is served too
+        conn.request("GET", "/download/qrank-20240401.csv")
+        r = conn.getresponse()
+        assert r.status == 200 and r.read() == b"Entity,QRank\nQ2,9\n"
+    finally:
+        httpd.shutdown()

@@ -128,3 +128,62 @@ class ArtifactServer:
         if method == "HEAD":
             return 200, out, None
         return 200, out, fpath
+
+
+_REASONS = {
+    200: "OK",
+    204: "No Content",
+    304: "Not Modified",
+    404: "Not Found",
+    405: "Method Not Allowed",
+}
+
+
+def wsgi_app(server: ArtifactServer):
+    """WSGI binding for :class:`ArtifactServer` — the transport layer
+    the reference implements with net/http (cmd/webserver/main.go:20-51).
+    Bodies stream via ``wsgi.file_wrapper`` when the server provides one
+    (sendfile under most servers), so multi-GB artifacts never buffer in
+    Python memory."""
+
+    def app(environ, start_response):
+        method = environ.get("REQUEST_METHOD", "GET")
+        path = environ.get("PATH_INFO", "/")
+        headers = {
+            k[5:].replace("_", "-").lower(): v
+            for k, v in environ.items()
+            if k.startswith("HTTP_")
+        }
+        status, hdrs, body_path = server.handle(method, path, headers)
+        hdrs = dict(hdrs)
+        body = [b""]
+        if body_path is not None:
+            hdrs["Content-Length"] = str(os.path.getsize(body_path))
+            f = open(body_path, "rb")  # closed by the WSGI server
+            wrapper = environ.get("wsgi.file_wrapper")
+            body = wrapper(f) if wrapper else iter(lambda: f.read(1 << 16), b"")
+        start_response(
+            f"{status} {_REASONS.get(status, '')}".rstrip(), sorted(hdrs.items())
+        )
+        return body
+
+    return app
+
+
+def serve_http(
+    out_dir: str,
+    port: int = 0,
+    basenames: tuple[str, ...] = (),
+    poll_interval: float = 30.0,
+):
+    """Bind the artifact server to a real socket (stdlib wsgiref — no
+    extra dependency; production mounts :func:`wsgi_app` under any WSGI
+    server). Returns ``(httpd, server)`` — caller runs
+    ``httpd.serve_forever()`` (and, in a real deployment, a thread
+    calling ``server.watch(poll_interval)`` to pick up newly published
+    artifact versions, storage.go:175-191)."""
+    from wsgiref.simple_server import make_server
+
+    server = ArtifactServer(out_dir, basenames)
+    httpd = make_server("127.0.0.1", port, wsgi_app(server))
+    return httpd, server
