@@ -37,12 +37,15 @@ def _cols(line_col):
 
 
 def daily_pageviews(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    # try_cast, not cast: real pageview_complete lines carry the literal
+    # string 'null' for pages without an id (pageviews.go:504-517 skips
+    # them); under Spark 4's ANSI mode a plain cast would fail the task
     c = _cols(F.col(line_col))
     return (
         lines.select(
             c.getItem(0).alias("wiki"),
-            c.getItem(2).cast("long").alias("page_id"),
-            c.getItem(4).cast("long").alias("views"),
+            c.getItem(2).try_cast("long").alias("page_id"),
+            c.getItem(4).try_cast("long").alias("views"),
             F.size(c).alias("__n"),
         )
         .filter(
@@ -69,7 +72,9 @@ def monthly_pageviews(lines: DataFrame, line_col: str = "value") -> DataFrame:
         lines.select(
             c.getItem(0).alias("site_full"),
             c.getItem(1).alias("raw_title"),
-            c.getItem(4).cast("long").alias("views"),
+            # try_cast: malformed counts skip the line (ANSI-safe),
+            # mirroring the reference's parse-failure skip
+            c.getItem(4).try_cast("long").alias("views"),
             F.size(c).alias("__n"),
         )
         .filter(
