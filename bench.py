@@ -175,8 +175,17 @@ def run_scaled_build(cpus: int, corpus_dir: str, sf_dir: str, trials: int = 3) -
     from wikidata_qrank_spark.operators.fused import (
         combine_partials,
         kg_partials,
+        kg_partials_vectorized,
         qviews_from_combined,
         triples_from_combined,
+    )
+
+    # A/B switch for the fused kernel's inner shape (BENCH.md records
+    # both; the partials schema and downstream finishes are shared)
+    partials_fn = (
+        kg_partials_vectorized
+        if os.environ.get("SPARK_GRAFT_FUSED_IMPL", "loop") == "vector"
+        else kg_partials
     )
     from wikidata_qrank_spark.operators.linking import canonical_dictionary
     from wikidata_qrank_spark.session import get_session
@@ -206,7 +215,7 @@ def run_scaled_build(cpus: int, corpus_dir: str, sf_dir: str, trials: int = 3) -
 
     def job(df):
         t0 = _time.perf_counter()
-        combined = combine_partials(kg_partials(df, cdict))
+        combined = combine_partials(partials_fn(df, cdict))
         qchk = qviews_from_combined(combined).select(
             F.bit_xor(F.xxhash64("item_id", "views")).alias("chk")
         )

@@ -69,3 +69,36 @@ def test_fused_item_signals_match_unfused(spark):
     b = unfused.select(*cols)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_vectorized_kernel_matches_loop_kernel(spark):
+    """kg_partials_vectorized must produce the identical COMBINED
+    relation as the per-token loop kernel, in both lean and signals
+    modes (per-batch partials may split differently across batch
+    boundaries; the combined sums are the contract)."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.operators.fused import kg_partials_vectorized
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    d = dictionary(docs)
+    cdict = canonical_dictionary(d, redirects(d))
+
+    for signals in (False, True):
+        loop = combine_partials(kg_partials(docs, cdict, signals=signals))
+        vec = combine_partials(kg_partials_vectorized(docs, cdict, signals=signals))
+        l_rows = {tuple(r) for r in loop.collect()}
+        v_rows = {tuple(r) for r in vec.collect()}
+        assert l_rows == v_rows, (
+            f"signals={signals}: "
+            f"loop-only={list(l_rows - v_rows)[:5]} "
+            f"vec-only={list(v_rows - l_rows)[:5]}"
+        )
+    # edge-case batch: empty text, all-unknown tokens, repeated entity
+    weird = spark.createDataFrame(
+        [(1, "", 10), (2, "zz yy xx", 9), (3, "zz zz zz", 8)],
+        "doc_id long, text string, n_chars long",
+    )
+    lw = combine_partials(kg_partials(weird, cdict, signals=True)).collect()
+    vw = combine_partials(kg_partials_vectorized(weird, cdict, signals=True)).collect()
+    assert {tuple(r) for r in lw} == {tuple(r) for r in vw}

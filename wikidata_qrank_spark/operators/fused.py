@@ -24,8 +24,10 @@ oracles.
 
 from __future__ import annotations
 
+from itertools import chain
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -125,6 +127,129 @@ def kg_partials(
                     a += list(d.keys())
                     b += [0] * len(d)
                     n += list(d.values())
+            yield pd.DataFrame(
+                {
+                    "tag": pd.Series(tags, dtype="object"),
+                    "a": pd.Series(a, dtype="int64"),
+                    "b": pd.Series(b, dtype="int64"),
+                    "n": pd.Series(n, dtype="int64"),
+                }
+            )
+
+    cols = [text_col] + ([chars_col] if signals else [])
+    return documents.select(*cols).mapInPandas(kernel, schema=PARTIALS_SCHEMA)
+
+
+def kg_partials_vectorized(
+    documents: DataFrame,
+    dict_df: DataFrame,
+    text_col: str = "text",
+    max_dict_rows: int | None = None,
+    signals: bool = False,
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Vectorized formulation of :func:`kg_partials` — identical
+    partials (asserted in tests/test_fused.py), different inner shape:
+    instead of a per-token Python loop, each Arrow batch flattens to one
+    token array and every step runs as a C-level pass —
+
+    * token→item mapping via a pandas hash ``Index.get_indexer`` (khash
+      probe, no Python frames per token),
+    * media positions from ``arange % MEDIA_MOD`` masks,
+    * view counts via ``np.unique(return_counts)``,
+    * adjacency edges from consecutive-mention pairs (``same-doc ∧
+      different-item`` masks over shifted arrays) + per-batch unique,
+    * signals mode: per-(doc, item) distinct pairs via ``np.unique``
+      over stacked arrays, then bincount-style sums.
+
+    A/B verdict (BENCH.md, 3.6M docs, 8 pinned cpus, min-of-3): the
+    per-token LOOP kernel wins 17.5s vs 51.3s — short docs (~160
+    tokens) make dict.get counting O(n) with no materialization, while
+    this formulation pays a giant per-batch object-array build plus
+    O(n log n) np.unique sorts. Kept as the tested alternative (its
+    relative cost shrinks with dictionary miss rate and doc length);
+    ``kg_partials`` (loop) remains the default everywhere.
+    """
+    from .mentions import DEFAULT_MAX_DICT_ROWS, collect_dictionary
+
+    spark = documents.sparkSession
+    table = collect_dictionary(
+        dict_df, DEFAULT_MAX_DICT_ROWS if max_dict_rows is None else max_dict_rows
+    )
+    bc = spark.sparkContext.broadcast(table)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mapper = pd.Index(list(bc.value.keys()))
+        mapper_ids = np.fromiter(bc.value.values(), dtype=np.int64, count=len(bc.value))
+        for pdf in batches:
+            texts = pdf[text_col].tolist()
+            toklists = [t.split(" ") for t in texts]
+            lens = np.fromiter(
+                (len(t) for t in toklists), dtype=np.int64, count=len(toklists)
+            )
+            total = int(lens.sum())
+            flat = np.empty(total, dtype=object)
+            flat[:] = list(chain.from_iterable(toklists))
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            pos = np.arange(total, dtype=np.int64) - starts[doc_idx]
+            is_media = (pos % MEDIA_MOD) == MEDIA_PHASE
+
+            hit = mapper.get_indexer(flat)
+            known = hit >= 0
+            # ---- text mentions (order preserved: flat is doc-ordered)
+            tmask = known & ~is_media
+            ids = mapper_ids[hit[tmask]]
+            vdoc = doc_idx[tmask]
+            v_items, v_counts = (
+                np.unique(ids, return_counts=True) if ids.size else ((), ())
+            )
+            # ---- edges: consecutive mentions in the same doc, distinct
+            if ids.size > 1:
+                adj = (vdoc[1:] == vdoc[:-1]) & (ids[1:] != ids[:-1])
+                e = np.unique(
+                    np.stack([ids[:-1][adj], ids[1:][adj]], axis=1), axis=0
+                )
+            else:
+                e = np.empty((0, 2), dtype=np.int64)
+
+            tags = ["v"] * len(v_items) + ["e"] * len(e)
+            a = list(v_items) + list(e[:, 0])
+            b = [0] * len(v_items) + list(e[:, 1])
+            n = list(v_counts) + [1] * len(e)
+
+            if signals:
+                chars = pdf[chars_col].to_numpy(dtype=np.int64)
+                # media mentions: in-dict tokens at media positions
+                mmask = known & is_media
+                m_items, m_counts = (
+                    np.unique(mapper_ids[hit[mmask]], return_counts=True)
+                    if mmask.any()
+                    else ((), ())
+                )
+                # per-(doc, item) distinct pairs → claims docs + char sums
+                if ids.size:
+                    pairs = np.unique(np.stack([vdoc, ids], axis=1), axis=0)
+                    c_items, c_counts = np.unique(pairs[:, 1], return_counts=True)
+                    order = np.argsort(pairs[:, 1], kind="stable")
+                    psort = pairs[order]
+                    csum = np.add.reduceat(
+                        chars[psort[:, 0]],
+                        np.searchsorted(psort[:, 1], c_items),
+                    )
+                else:
+                    c_items, c_counts, csum = (), (), ()
+                for tag, items_, vals in (
+                    ("w", c_items, csum),
+                    ("c", c_items, c_counts),
+                    ("m", m_items, m_counts),
+                ):
+                    tags += [tag] * len(items_)
+                    a += list(items_)
+                    b += [0] * len(items_)
+                    n += list(vals)
+
             yield pd.DataFrame(
                 {
                     "tag": pd.Series(tags, dtype="object"),
