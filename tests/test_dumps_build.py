@@ -51,3 +51,26 @@ def test_dumps_build_end_to_end_golden_csv(spark, tmp_path):
     with gzip.open(part[0], "rt", encoding="utf-8") as f:
         got = f.read().splitlines()
     assert got == EXPECTED_ITEM_SIGNALS
+
+
+def test_read_site_dumps_arity_error_names_the_file(spark, tmp_path):
+    """A truncated INSERT tuple must fail with the offending file's
+    path, not a bare IndexError (900 parallel files otherwise)."""
+    import gzip
+
+    import pytest
+
+    from wikidata_qrank_spark.plans.dumps_build import DumpSite, read_site_dumps
+    from wikidata_qrank_spark.sources.sqldump import SQLDumpParseError
+
+    d = tmp_path / "badwiki" / "20240101"
+    d.mkdir(parents=True)
+    with gzip.open(d / "badwiki-20240101-page.sql.gz", "wt") as f:
+        f.write(
+            "CREATE TABLE `page` (`page_id` int, `page_title` varbinary(255));\n"
+            "INSERT INTO `page` VALUES (1,'ok'),(2);\n"
+        )
+    site = DumpSite("badwiki", "bad.wikipedia.org", "20240101")
+    df = read_site_dumps(spark, [site], str(tmp_path), "page", ["page_id"])
+    with pytest.raises(Exception, match="badwiki-20240101-page"):
+        df.collect()

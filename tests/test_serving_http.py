@@ -86,3 +86,34 @@ def test_http_serves_new_version_after_reload(tmp_path):
         assert r.status == 200 and r.read() == b"Entity,QRank\nQ2,9\n"
     finally:
         httpd.shutdown()
+
+
+def test_http_head_reports_content_length_and_watcher_reloads(tmp_path):
+    import time
+
+    from wikidata_qrank_spark.plans.serving import serve_http
+
+    (tmp_path / "qrank-20240301.csv").write_bytes(b"Entity,QRank\nQ1,5\n")
+    httpd, server = serve_http(
+        str(tmp_path), port=0, basenames=("qrank",), poll_interval=0.05
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", httpd.server_address[1], timeout=10)
+        conn.request("HEAD", "/download/qrank.csv")
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 200
+        assert r.getheader("Content-Length") == "18"  # size without a body
+        # the watcher thread picks up a newly published version on its own
+        (tmp_path / "qrank-20240401.csv").write_bytes(b"Entity,QRank\nQ2,9\n")
+        deadline = time.time() + 10
+        body = b""
+        while time.time() < deadline and body != b"Entity,QRank\nQ2,9\n":
+            conn.request("GET", "/download/qrank.csv")
+            body = conn.getresponse().read()
+            time.sleep(0.05)
+        assert body == b"Entity,QRank\nQ2,9\n"
+    finally:
+        httpd.shutdown()

@@ -207,3 +207,30 @@ def test_kernel_scales_to_wide_codebooks(spark):
     assert out.select("cid").distinct().count() > 10
     b = df.select(lsh_bucket(df, "embedding", 32, 1, dim).alias("b"))  # auto -> kernel
     assert b.filter(F.col("b").isNotNull()).count() == n
+
+
+def test_null_vectors_never_poison_training_or_neighbors(spark):
+    """A NULL embedding anywhere in the corpus must neither crash
+    seeding/training (null landing on a seed rank) nor surface as a
+    cosine=NULL pseudo-neighbor in any top-k path."""
+    from wikidata_qrank_spark.operators.dedup import embedding_near_dups
+    from wikidata_qrank_spark.operators.similarity import (
+        brute_force_topk,
+        train_centroids,
+    )
+
+    vecs = [(0, None), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+            (4, None), (5, [0.5, 0.5])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    trained = train_centroids(df, num_centroids=2, iters=2)
+    assert trained.count() == 2  # no TypeError, codebook intact
+    for res in (
+        brute_force_topk(df, df, k=10),
+        lsh_bucketed_topk(df, df, k=10, nbits=2, num_tables=4),
+        ivf_topk(df, df, k=10, num_centroids=2, nprobe=2),
+        embedding_near_dups(df, threshold=-1.0),
+    ):
+        rows = res.collect()
+        ids = {r[0] for r in rows} | {r[1] for r in rows}
+        assert 0 not in ids and 4 not in ids  # null rows never appear
+        assert all(r[2] is not None for r in rows)  # no NULL cosines

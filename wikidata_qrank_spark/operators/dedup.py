@@ -140,7 +140,10 @@ def jaccard_verify_candidates(
     """
     sh = _shingles(documents, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    cand = candidates.select("doc_a", "doc_b")
+    # defensive distinct: a duplicated candidate pair (e.g. a union of
+    # LSH and simhash candidate sources) would double-count every
+    # shared shingle and report jaccard up to 2× the true value
+    cand = candidates.select("doc_a", "doc_b").distinct()
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -529,8 +532,12 @@ def embedding_near_dups(
     from ..functions.precision import round6
     from .similarity import _dot, _norm, lsh_bucket
 
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).filter(
+        F.col("va").isNotNull()
+    )
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).filter(
+        F.col("vb").isNotNull()
+    )
     if exact:
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:

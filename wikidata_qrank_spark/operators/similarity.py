@@ -65,13 +65,15 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, nn_rank) — exact top-k per query,
-    excluding self-matches. Queries are broadcast (must be small)."""
+    excluding self-matches and NULL vectors (a null embedding would
+    otherwise surface as a cosine=NULL 'neighbor' whenever a query has
+    fewer than k real candidates). Queries are broadcast (small)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).filter(F.col("q_vec").isNotNull())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).filter(F.col("c_vec").isNotNull())
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -279,9 +281,14 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: union of per-table same-bucket candidates,
     exact cosine re-rank. Shuffle key = (table, bucket) — corpus text
-    never fans out beyond its buckets."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    never fans out beyond its buckets. NULL vectors are excluded (they
+    would hash to bucket 0 and emit cosine=NULL pseudo-neighbors)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).filter(F.col("c_vec").isNotNull())
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).filter(F.col("q_vec").isNotNull())
     dim = probe_dim(c, "c_vec")
     if dim is None:
         return _empty_topk(corpus.sparkSession)
@@ -323,13 +330,16 @@ def seed_centroids(
 
     Rank-based (not id-value-based) so sparse or offset id spaces —
     ids 1_000_000… — still yield num_centroids seeds; an id-modulo
-    rule silently returns zero centroids there."""
+    rule silently returns zero centroids there. NULL vectors are
+    excluded up front: a null row landing on a seed rank would poison
+    the codebook (train_centroids iterates its elements)."""
     from .rank import global_row_number
 
-    n = corpus.count()
+    vecs = corpus.filter(F.col(vec_col).isNotNull())
+    n = vecs.count()
     step = max(1, n // num_centroids)
     ranked = global_row_number(
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent")),
+        vecs.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent")),
         [F.col("cid").asc()],
         rank_col="__rn",
     )
@@ -387,7 +397,9 @@ def train_centroids(
         (r["cid"], [float(x) for x in r["cent"]])
         for r in seed_centroids(corpus, num_centroids, id_col, vec_col).collect()
     ]
-    c = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    c = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
     for _ in range(iters):
         assigned = assign_cells(c, "__v", cent_rows, out="cid", impl=impl)
         means = assigned.groupBy("cid").agg(
@@ -427,11 +439,17 @@ def ivf_topk(
     tiebreak so the cell assignment is reproducible bit-for-bit across
     engines (the DuckDB oracle mirrors it). Pass ``centroids`` (e.g.
     from ``train_centroids``) to probe a trained codebook instead of
-    the deterministic seeds."""
+    the deterministic seeds. NULL vectors are excluded on both sides
+    (a null corpus row gets a null cid anyway; a null query would rank
+    cells by NULL sims)."""
     if centroids is None:
         centroids = seed_centroids(corpus, num_centroids, id_col, vec_col)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).filter(F.col("c_vec").isNotNull())
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).filter(F.col("q_vec").isNotNull())
 
     # corpus → nearest cell: MAP-ONLY via the literal-argmax projection
     # (_assign_cell is the semantic twin of r=1 over sim DESC, cid ASC —

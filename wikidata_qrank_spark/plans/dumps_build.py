@@ -149,6 +149,13 @@ def read_site_dumps(
                     f"{r['path']}: missing column in CREATE ({e})"
                 ) from None
             for row in iter_insert_rows(lex_sql(text)):
+                if len(row) != len(cols):
+                    # name the file: at 900 wikis per scan a bare
+                    # IndexError is undebuggable
+                    raise SQLDumpParseError(
+                        f"{r['path']}: row arity {len(row)} != "
+                        f"{len(cols)} CREATE columns"
+                    )
                 yield (key, *[row[i] for i in idx])
 
     return whole.rdd.mapPartitions(parse).toDF(schema)

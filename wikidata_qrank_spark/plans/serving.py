@@ -109,6 +109,9 @@ class ArtifactServer:
         out = {
             "ETag": f'"{etag}"',  # RFC 7232: ETag must be quoted
             "Content-Type": _content_type(name),
+            # net/http reports the size on HEAD too — size-probing
+            # clients rely on it before downloading multi-GB artifacts
+            "Content-Length": str(os.path.getsize(fpath)),
             "Access-Control-Allow-Origin": "*",
             "Last-Modified": formatdate(mtime, usegmt=True),
         }
@@ -159,9 +162,22 @@ def wsgi_app(server: ArtifactServer):
         body = [b""]
         if body_path is not None:
             hdrs["Content-Length"] = str(os.path.getsize(body_path))
-            f = open(body_path, "rb")  # closed by the WSGI server
+            f = open(body_path, "rb")
             wrapper = environ.get("wsgi.file_wrapper")
-            body = wrapper(f) if wrapper else iter(lambda: f.read(1 << 16), b"")
+            if wrapper:
+                body = wrapper(f)  # server closes via the wrapper
+            else:
+                # generator: its close() (PEP 3333 cleanup hook) raises
+                # GeneratorExit → finally closes the fd; a bare
+                # iter(lambda...) has no close() and leaks descriptors
+                def _stream(fh=f):
+                    try:
+                        while chunk := fh.read(1 << 16):
+                            yield chunk
+                    finally:
+                        fh.close()
+
+                body = _stream()
         start_response(
             f"{status} {_REASONS.get(status, '')}".rstrip(), sorted(hdrs.items())
         )
@@ -178,12 +194,18 @@ def serve_http(
 ):
     """Bind the artifact server to a real socket (stdlib wsgiref — no
     extra dependency; production mounts :func:`wsgi_app` under any WSGI
-    server). Returns ``(httpd, server)`` — caller runs
-    ``httpd.serve_forever()`` (and, in a real deployment, a thread
-    calling ``server.watch(poll_interval)`` to pick up newly published
-    artifact versions, storage.go:175-191)."""
+    server). ``poll_interval > 0`` starts the reload watcher as a
+    daemon thread (storage.go:175-191), so newly published artifact
+    versions are served without intervention; pass 0 to manage
+    ``server.reload()`` yourself. Returns ``(httpd, server)`` — caller
+    runs ``httpd.serve_forever()``."""
+    import threading
     from wsgiref.simple_server import make_server
 
     server = ArtifactServer(out_dir, basenames)
     httpd = make_server("127.0.0.1", port, wsgi_app(server))
+    if poll_interval > 0:
+        threading.Thread(
+            target=server.watch, args=(poll_interval,), daemon=True
+        ).start()
     return httpd, server
