@@ -249,6 +249,15 @@ def _td_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _td_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation composition: exact-dedup survivors ∩ quality ≥
+    0.5 ∩ confident language id — document text never shuffles (the
+    signal columns are map-only; joins move doc_id-width rows)."""
+    from wikidata_qrank_spark.operators.textstats import curate_corpus
+
+    return curate_corpus(_documents(spark, sf_dir), min_quality=0.5)
+
+
 def _td_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE dedup pipeline as one composition: md5 minhash banded
     LSH candidates → exact Jaccard verified on candidates only →
@@ -452,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_tfidf_top_terms"] = _td_tfidf_top_terms
     out["td_dup_clusters"] = _td_dup_clusters
     out["td_dup_clusters_lsh"] = _td_dup_clusters_lsh
+    out["td_curation"] = _td_curation
     out["td_contamination"] = _td_contamination
     out["td_pii_scrub"] = _td_pii_scrub
     out["td_minhash_pairs"] = _td_minhash_pairs

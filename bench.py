@@ -89,6 +89,15 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             train = docs.filter(F.col("doc_id") % 97 != 0)
             return dedup.ngram_contamination(train, bench_set, n=3, min_shared=2).count()
 
+        def _dup_clusters_lsh():
+            # the composed scale pipeline (xxhash64 scale path) over the
+            # near-dup-injected corpus: LSH -> verify-on-candidates -> CC
+            from wikidata_qrank_spark.operators.clusters import dup_clusters_scaled
+
+            return dup_clusters_scaled(
+                dedup.inject_near_dups(docs), threshold=0.5
+            ).count()
+
         extended = {
             "q6_exact_dedup": lambda: dedup.exact_duplicate_groups(docs).count(),
             "q7_minhash_pairs": lambda: dedup.minhash_lsh_pairs(docs).count(),
@@ -99,6 +108,8 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             # round-2 additions (q1–q9 keys stay stable for diffing)
             "q10_pii_scrub": _pii,
             "q11_contamination": _contamination,
+            # round-3 addition: the end-to-end scale dedup composition
+            "q12_dup_clusters_lsh": _dup_clusters_lsh,
         }
         for name, action in extended.items():
             timings[name] = _timed_min(action)

@@ -24,9 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="table directory (sf dir)")
+    ap.add_argument("--input", help="table directory (sf dir)")
+    ap.add_argument(
+        "--dumps",
+        help="raw Wikimedia dumps tree: run the dumps-directory build "
+        "(site discovery -> per-site SQL scans -> weekly pageviews -> "
+        "item_signals CSV) instead of the parquet-table pipeline",
+    )
+    ap.add_argument("--num-weeks", type=int, default=1)
     ap.add_argument("--out", required=True, help="publish directory")
-    ap.add_argument("--checkpoint", required=True, help="checkpoint directory")
+    ap.add_argument("--checkpoint", help="checkpoint directory (table mode)")
     ap.add_argument("--code-version", default="v1")
     ap.add_argument(
         "--local-cpus",
@@ -45,6 +52,21 @@ def main() -> None:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.builder.appName("kg-build").getOrCreate()
+
+    if bool(args.dumps) == bool(args.input):
+        ap.error("exactly one of --input (tables) or --dumps (raw tree) is required")
+
+    if args.dumps:
+        from wikidata_qrank_spark.plans.dumps_build import run_dumps_build
+
+        out_path = os.path.join(args.out, "item_signals.csv")
+        run_dumps_build(spark, args.dumps, out_path, num_weeks=args.num_weeks)
+        print(json.dumps({"outputs": {"item_signals": out_path}}))
+        spark.stop()
+        return
+
+    if not args.checkpoint:
+        ap.error("--checkpoint is required with --input")
 
     from wikidata_qrank_spark.plans.pipeline import run_full_build
 

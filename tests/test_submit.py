@@ -73,3 +73,51 @@ def test_spark_submit_py_files_full_build(tmp_path):
     for path in payload["outputs"].values():
         assert os.path.exists(path)
     assert payload["n_samples"] > 0
+
+
+def test_spark_submit_dumps_mode(tmp_path):
+    """The same launcher pointed at a RAW DUMPS TREE (--dumps): the
+    day-one path of a reference user, through real spark-submit, ending
+    in the exact TestBuild golden CSV."""
+    import glob
+    import gzip
+
+    from tests.dumps_fixture import EXPECTED_ITEM_SIGNALS, write_dumps_tree
+
+    spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        import pytest
+
+        pytest.skip("spark-submit launcher not present")
+    zip_path = str(tmp_path / "wqs.zip")
+    _build_zip(zip_path)
+    dumps = write_dumps_tree(tmp_path)
+    workdir = tmp_path / "cwd"
+    workdir.mkdir()
+    script = str(tmp_path / "run_build.py")
+    shutil.copy(os.path.join(REPO, "scripts", "run_build.py"), script)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            script,
+            "--dumps", dumps,
+            "--out", str(tmp_path / "pub"),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(workdir),
+        env=env,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    part = glob.glob(str(tmp_path / "pub" / "item_signals.csv" / "part-*.csv.gz"))
+    assert len(part) == 1
+    with gzip.open(part[0], "rt", encoding="utf-8") as f:
+        assert f.read().splitlines() == EXPECTED_ITEM_SIGNALS

@@ -116,3 +116,22 @@ def test_tfidf_top_terms(spark):
     top1 = {d: sorted(v)[0][1] for d, v in by_doc.items()}
     assert top1[1] == "apple" and top1[2] == "cherry"
     assert all(s >= 0 for v in by_doc.values() for _, _, s in v)
+
+
+def test_curate_corpus_filters(spark):
+    """Curation drops dup victims, low-quality docs, and docs without a
+    confident language — keeps the rest with (lang, quality)."""
+    from wikidata_qrank_spark.operators.textstats import curate_corpus
+
+    good = "the cat and the dog went to the market of the town " * 6
+    rows = [
+        (1, good),                      # keeper (English markers, long)
+        (2, good),                      # exact dup of 1 → victim
+        (3, "zz"),                      # low quality, no language
+        (4, "und und und"),             # wait — 'und' is a German marker
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.predicted_lang for r in curate_corpus(docs, min_quality=0.4).collect()}
+    assert 1 in got and got[1] == "en"
+    assert 2 not in got  # dup victim (min doc_id survives)
+    assert 3 not in got  # low quality / no markers

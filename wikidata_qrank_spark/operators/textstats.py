@@ -82,6 +82,38 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def curate_corpus(
+    documents: DataFrame, text_col: str = "text", min_quality: float = 0.5
+) -> DataFrame:
+    """(doc_id, predicted_lang, quality) — the canonical corpus-curation
+    composition a training-data pipeline runs before tokenization: keep
+    a document iff it is (a) the exact-dedup survivor of its content
+    fingerprint, (b) above the quality threshold, and (c) confidently
+    language-identified (not 'und').
+
+    Scale shape: quality and language are map-only projections; the
+    survivor election is one groupBy over (fingerprint, doc_id) rows.
+    The doc_id joins move only (doc_id, score)-width rows — document
+    TEXT never shuffles anywhere in this pipeline."""
+    from .dedup import content_fingerprint
+
+    survivors = (
+        content_fingerprint(documents, text_col)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q = quality_scores(documents, text_col).select("doc_id", "quality")
+    lang = language_id(documents, text_col).select("doc_id", "predicted_lang")
+    return (
+        survivors.join(q, "doc_id")
+        .filter(F.col("quality") >= min_quality)
+        .join(lang, "doc_id")
+        .filter(F.col("predicted_lang") != "und")
+        .select("doc_id", "predicted_lang", "quality")
+    )
+
+
 def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_chars_measured, stopword_ratio,
     mean_token_len, quality): a composite [0,1] quality signal."""

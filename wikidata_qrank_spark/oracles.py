@@ -768,6 +768,24 @@ FROM scored
 QUALIFY nn_rank <= 5
 """
 
+# The curation composition: exact-dedup survivors ∩ quality threshold ∩
+# confident language id — built by nesting the already-verified oracle
+# queries as parenthesized subqueries (each keeps its own WITH).
+ORACLES["td_curation"] = f"""
+SELECT s.doc_id, l.predicted_lang, q.quality
+FROM (
+  SELECT min(doc_id) AS doc_id
+  FROM (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+    FROM documents
+  ) GROUP BY f
+) s
+JOIN ({ORACLES["td_quality"]}) q ON q.doc_id = s.doc_id
+JOIN ({ORACLES["td_language_id"]}) l ON l.doc_id = s.doc_id
+WHERE q.quality >= 0.5 AND l.predicted_lang <> 'und'
+"""
+
 # ---- dup clustering / contamination / PII -------------------------------
 
 # Connected components via recursive-CTE transitive closure — an
