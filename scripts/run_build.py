@@ -33,7 +33,7 @@ def main() -> None:
     )
     ap.add_argument("--num-weeks", type=int, default=1)
     ap.add_argument("--out", required=True, help="publish directory")
-    ap.add_argument("--checkpoint", help="checkpoint directory (table mode)")
+    ap.add_argument("--checkpoint", help="checkpoint directory (required in table mode, optional resumability in dumps mode)")
     ap.add_argument("--code-version", default="v1")
     ap.add_argument(
         "--local-cpus",
@@ -60,8 +60,18 @@ def main() -> None:
         from wikidata_qrank_spark.plans.dumps_build import run_dumps_build
 
         out_path = os.path.join(args.out, "item_signals.csv")
-        run_dumps_build(spark, args.dumps, out_path, num_weeks=args.num_weeks)
-        print(json.dumps({"outputs": {"item_signals": out_path}}))
+        res = run_dumps_build(
+            spark,
+            args.dumps,
+            out_path,
+            num_weeks=args.num_weeks,
+            checkpoint_dir=args.checkpoint,
+        )
+        print(
+            json.dumps(
+                {"outputs": {"item_signals": out_path}, "metrics": res["metrics"]}
+            )
+        )
         spark.stop()
         return
 

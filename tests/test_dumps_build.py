@@ -74,3 +74,27 @@ def test_read_site_dumps_arity_error_names_the_file(spark, tmp_path):
     df = read_site_dumps(spark, [site], str(tmp_path), "page", ["page_id"])
     with pytest.raises(Exception, match="badwiki-20240101-page"):
         df.collect()
+
+
+def test_dumps_build_checkpoint_resume(spark, tmp_path):
+    """A checkpointed dumps build re-run against the unchanged tree
+    skips both scan stages (the reference's ListStoredFiles
+    skip-if-fresh, TestBuildSiteFiles semantics) and still produces the
+    golden CSV."""
+    import gzip as _gzip
+
+    from wikidata_qrank_spark.plans.dumps_build import run_dumps_build
+
+    dumps = write_dumps_tree(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "sig1.csv")
+    r1 = run_dumps_build(spark, dumps, out1, checkpoint_dir=ckpt)
+    assert set(r1["metrics"]) == {"dumps_page_signals", "dumps_weekly_views"}
+    assert all(not m["skipped"] for m in r1["metrics"].values())
+
+    out2 = str(tmp_path / "sig2.csv")
+    r2 = run_dumps_build(spark, dumps, out2, checkpoint_dir=ckpt)
+    assert all(m["skipped"] for m in r2["metrics"].values())
+    part = glob.glob(out2 + "/part-*.csv.gz")
+    with _gzip.open(part[0], "rt", encoding="utf-8") as f:
+        assert f.read().splitlines() == EXPECTED_ITEM_SIGNALS

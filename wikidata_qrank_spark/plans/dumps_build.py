@@ -310,30 +310,88 @@ def weekly_views_from_dumps(
 
 
 def build_item_signals_from_dumps(
-    spark: SparkSession, dumps_dir: str, num_weeks: int = 1
+    spark: SparkSession,
+    dumps_dir: str,
+    num_weeks: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The whole Build() composition (build.go:20-56) from a raw dumps
     tree: discovery → per-site page signals → weekly views →
     item_signals, with ``item_id`` attached for the CSV writer's
     numeric ordering. Views on wikis without dumps drop in the join,
-    exactly like the reference (it never scans such wikis)."""
+    exactly like the reference (it never scans such wikis).
+
+    With ``checkpoint_dir``, the scan stages run under the
+    CheckpointManager, versioned by the site VINTAGES (key:ymd set) and
+    the selected pageview files: a re-run against an unchanged dumps
+    tree skips both scans — the reference's ListStoredFiles
+    skip-if-fresh behavior (build.go:76-106, TestBuildSiteFiles) —
+    and the outputs carry snapshot + partition lineage columns."""
+    sig, _metrics = _item_signals_with_metrics(
+        spark, dumps_dir, num_weeks, checkpoint_dir
+    )
+    return sig
+
+
+def _item_signals_with_metrics(
+    spark: SparkSession,
+    dumps_dir: str,
+    num_weeks: int,
+    checkpoint_dir: str | None,
+) -> tuple[DataFrame, dict]:
     from ..functions.normalize import item_to_id
     from ..operators.signals import item_signals_from_pages
 
     sites = read_wiki_sites(spark, dumps_dir)
-    ps = page_signals_from_dumps(spark, sites, dumps_dir)
-    wv = weekly_views_from_dumps(spark, dumps_dir, num_weeks)
+    metrics: dict = {}
+    if checkpoint_dir is None:
+        ps = page_signals_from_dumps(spark, sites, dumps_dir)
+        wv = weekly_views_from_dumps(spark, dumps_dir, num_weeks)
+    else:
+        from .checkpoint import (
+            LINEAGE_PARTITION_COL,
+            LINEAGE_SNAPSHOT_COL,
+            CheckpointManager,
+        )
+
+        mgr = CheckpointManager(spark, checkpoint_dir)
+        site_version = CheckpointManager.stage_version(
+            *[f"{s.key}:{s.last_dumped}" for s in sites]
+        )
+        week_files = find_weekly_pageview_files(dumps_dir, num_weeks)
+        week_version = CheckpointManager.stage_version(
+            *[os.path.basename(f) for files in week_files for f in files]
+        )
+        ps = mgr.run_stage(
+            "dumps_page_signals",
+            site_version,
+            lambda: page_signals_from_dumps(spark, sites, dumps_dir),
+        ).drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL)
+        wv = mgr.run_stage(
+            "dumps_weekly_views",
+            week_version,
+            lambda: weekly_views_from_dumps(spark, dumps_dir, num_weeks),
+        ).drop(LINEAGE_PARTITION_COL, LINEAGE_SNAPSHOT_COL)
+        metrics = mgr.metrics()
     sig = item_signals_from_pages(ps, wv)
-    return sig.withColumn("item_id", item_to_id(F.col("item")))
+    return sig.withColumn("item_id", item_to_id(F.col("item"))), metrics
 
 
 def run_dumps_build(
-    spark: SparkSession, dumps_dir: str, out_path: str, num_weeks: int = 1
-) -> str:
+    spark: SparkSession,
+    dumps_dir: str,
+    out_path: str,
+    num_weeks: int = 1,
+    checkpoint_dir: str | None = None,
+) -> dict:
     """Build + publish the item_signals CSV (gzip, numeric-item order —
-    the byte format of TestBuild's golden, build_test.go:33-52)."""
+    the byte format of TestBuild's golden, build_test.go:33-52).
+    Returns {'out': path, 'metrics': per-stage metrics} (metrics empty
+    without a checkpoint_dir)."""
     from ..operators.sinks import write_item_signals_csv
 
-    sig = build_item_signals_from_dumps(spark, dumps_dir, num_weeks)
+    sig, metrics = _item_signals_with_metrics(
+        spark, dumps_dir, num_weeks, checkpoint_dir
+    )
     write_item_signals_csv(sig, out_path)
-    return out_path
+    return {"out": out_path, "metrics": metrics}
