@@ -249,6 +249,14 @@ def _td_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _td_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: rolling-hash char
+    k-grams, min per window — map-only expressions, no UDF."""
+    from wikidata_qrank_spark.operators.textstats import winnowed_fingerprints
+
+    return winnowed_fingerprints(_documents(spark, sf_dir), k=8, window=4)
+
+
 def _td_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus curation composition: exact-dedup survivors ∩ quality ≥
     0.5 ∩ confident language id — document text never shuffles (the
@@ -462,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_dup_clusters"] = _td_dup_clusters
     out["td_dup_clusters_lsh"] = _td_dup_clusters_lsh
     out["td_curation"] = _td_curation
+    out["td_winnow_fps"] = _td_winnow_fps
     out["td_contamination"] = _td_contamination
     out["td_pii_scrub"] = _td_pii_scrub
     out["td_minhash_pairs"] = _td_minhash_pairs

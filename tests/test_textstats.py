@@ -135,3 +135,37 @@ def test_curate_corpus_filters(spark):
     assert 1 in got and got[1] == "en"
     assert 2 not in got  # dup victim (min doc_id survives)
     assert 3 not in got  # low quality / no markers
+
+
+def test_winnowed_fingerprints_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al.): two docs sharing a
+    substring of length >= k + window - 1 share at least one
+    fingerprint; unrelated docs (here: disjoint alphabets) share none.
+    Also: the whole-doc rolling hash matches the hand-computed fold."""
+    from wikidata_qrank_spark.operators.textstats import (
+        ROLL_BASE,
+        ROLL_MOD,
+        rolling_fingerprint,
+        winnowed_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over it"  # 33 chars >= 8+4-1
+    rows = [
+        (1, "aaa " + shared + " bbb"),
+        (2, "ccc " + shared + " ddd"),
+        (3, "zzzz yyyy xxxx wwww vvvv uuuu"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowed_fingerprints(docs, k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+    got = rolling_fingerprint(spark.createDataFrame([(1, "abc")], "doc_id long, text string")).first().roll_hash
+    want = 0
+    for ch in "abc":
+        want = (want * ROLL_BASE + ord(ch)) % ROLL_MOD
+    assert got == want

@@ -163,6 +163,63 @@ def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+# polynomial rolling hash: h = fold(chars, 0, (a, c) -> (a*31 + c) mod M)
+# — M = 2^31-1 keeps every intermediate < 2^36, far inside long range
+# (ANSI-safe), and the fold is left-associative so Spark's F.aggregate
+# and DuckDB's list_reduce (0-prepended) compute the identical value.
+ROLL_BASE = 31
+ROLL_MOD = 2_147_483_647
+
+
+def _poly_hash(col):
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + c) % ROLL_MOD,
+    )
+
+
+def rolling_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, roll_hash): whole-document polynomial rolling hash —
+    the classic Rabin–Karp content fingerprint, entirely JVM-side.
+    Empty texts are excluded (no content to fingerprint; also the one
+    spot where Spark's ascii('') = 0 and DuckDB's ord('') = -1
+    diverge)."""
+    return documents.filter(F.length(F.col(text_col)) > 0).select(
+        "doc_id", _poly_hash(F.col(text_col)).alias("roll_hash")
+    )
+
+
+def winnowed_fingerprints(
+    documents: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """(doc_id, fp) — winnowing document fingerprints (the MOSS
+    algorithm, Schleimer et al. SIGMOD'03): hash every character
+    k-gram with the polynomial rolling hash, then keep the MINIMUM
+    hash of each ``window`` of consecutive k-grams, distinct per doc.
+    Any shared substring of length ≥ k + window - 1 between two
+    documents is guaranteed to share a fingerprint — so near-dup /
+    plagiarism candidates are an equi-join on ``fp``.
+
+    Scale shape: pure map-side expression work per document (no UDF,
+    no shuffle); the downstream candidate join shuffles only
+    (fp, doc_id) pairs, never text."""
+    text = F.col(text_col)
+    gram_starts = F.sequence(
+        F.lit(1), F.greatest(F.length(text) - k + 1, F.lit(1))
+    )
+    grams = F.transform(gram_starts, lambda i: _poly_hash(text.substr(i, F.lit(k))))
+    win_starts = F.sequence(
+        F.lit(1), F.greatest(F.size(grams) - window + 1, F.lit(1))
+    )
+    fps = F.transform(win_starts, lambda j: F.array_min(F.slice(grams, j, window)))
+    return (
+        documents.filter(F.length(text) > 0)
+        .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+    )
+
+
 # PII scrubbing: sequential count-then-replace. Patterns restricted to
 # syntax with identical semantics in Java regex (Spark) and RE2
 # (DuckDB oracle): character classes, greedy counted repetition — no

@@ -768,6 +768,31 @@ FROM scored
 QUALIFY nn_rank <= 5
 """
 
+# Winnowing fingerprints (MOSS): polynomial rolling hash of every char
+# k-gram, min per window of `window` consecutive grams, distinct. The
+# fold is left-associative in both engines (list_reduce seeded with a
+# prepended 0 == F.aggregate with init 0).
+ORACLES["td_winnow_fps"] = """
+WITH g AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(length(text) - 8 + 1, 1)),
+      i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(substr(text, CAST(i AS INT), 8), ''),
+                              c -> CAST(ord(c) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % 2147483647)) AS grams
+  FROM documents WHERE length(text) > 0
+),
+w AS (
+  SELECT doc_id,
+    list_distinct(
+      list_transform(generate_series(1, greatest(len(grams) - 4 + 1, 1)),
+                     j -> list_min(grams[j:j+3]))) AS fps
+  FROM g
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w
+"""
+
 # The curation composition: exact-dedup survivors ∩ quality threshold ∩
 # confident language id — built by nesting the already-verified oracle
 # queries as parenthesized subqueries (each keeps its own WITH).
