@@ -440,6 +440,50 @@ def _ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def _ev_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks the user's most recent
+    click at-or-before purchase time (union + one running-last window —
+    one shuffle, no range fan-out). Oracle: DuckDB's NATIVE ASOF LEFT
+    JOIN — a genuinely independent implementation of the operator.
+    Clicks are deduped to max event_id per (user, ts) in both engines
+    so the tie pick is deterministic."""
+    from pyspark.sql import Window
+
+    from wikidata_qrank_spark.functions.precision import round6
+    from wikidata_qrank_spark.operators.asof import asof_join
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts_col="ts",
+        right_cols=["event_id", "ts", "value"],
+        suffix="_click",
+        tiebreak_col="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id_click").alias("click_event_id"),
+        F.unix_micros(F.col("ts_click").cast("timestamp")).alias("click_ts_us"),
+        round6(F.col("value_click")).alias("click_value"),
+    )
+
+
 def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.sources.tables import load_table
     from wikidata_qrank_spark.streaming.events import windowed_event_counts
@@ -482,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_ivf_ann"] = _td_ivf_ann
     out["mm_media_features"] = _mm_media_features
     out["ev_windowed_counts"] = _ev_windowed_counts
+    out["ev_asof_clicks"] = _ev_asof_clicks
     out["ev_sessions"] = _ev_sessions
     out["ev_props_stats"] = _ev_props_stats
     out["ev_quantiles"] = _ev_quantiles

@@ -1,0 +1,65 @@
+"""As-of join operator — union + running-last window vs hand-computed
+expectations (the gate checks it against DuckDB's native ASOF JOIN)."""
+
+from __future__ import annotations
+
+from wikidata_qrank_spark.operators.asof import asof_join
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_basic_ties_and_no_match(spark):
+    left = _df(spark, [
+        (1, 10, 5),   # before any right row → no match
+        (1, 20, 6),   # matches right at 20 (inclusive tie)
+        (1, 35, 7),   # matches right at 30
+        (2, 50, 8),   # other key: matches right at 45
+    ], "k long, ts long, lv long")
+    right = _df(spark, [
+        (1, 20, 100),
+        (1, 30, 200),
+        (2, 45, 300),
+        (3, 1, 400),   # unrelated key
+    ], "k long, ts long, rv long")
+    got = {
+        (r.k, r.ts): r.rv_asof
+        for r in asof_join(left, right, on="k", ts_col="ts").collect()
+    }
+    assert got == {(1, 10): None, (1, 20): 100, (1, 35): 200, (2, 50): 300}
+
+
+def test_asof_forward_direction(spark):
+    left = _df(spark, [(1, 10, 0), (1, 25, 0), (1, 99, 0)], "k long, ts long, lv long")
+    right = _df(spark, [(1, 20, 100), (1, 30, 200)], "k long, ts long, rv long")
+    got = {
+        r.ts: r.rv_asof
+        for r in asof_join(left, right, on="k", ts_col="ts", direction="forward").collect()
+    }
+    assert got == {10: 100, 25: 200, 99: None}
+
+
+def test_asof_duplicate_right_rows_tiebreak(spark):
+    """Duplicate right rows at one (key, ts): the greatest tiebreak id
+    wins deterministically."""
+    left = _df(spark, [(1, 20, 0)], "k long, ts long, lv long")
+    right = _df(spark, [(1, 20, 7, 100), (1, 20, 9, 200), (1, 20, 8, 150)],
+                "k long, ts long, rid long, rv long")
+    row = asof_join(
+        left, right, on="k", ts_col="ts", right_cols=["rv"], tiebreak_col="rid"
+    ).first()
+    assert row.rv_asof == 200
+
+
+def test_asof_null_right_field_stays_with_its_row(spark):
+    """A legitimately-NULL right column must come from the MATCHED row,
+    not fall back to an older right row's value (struct carry)."""
+    left = _df(spark, [(1, 40, 0)], "k long, ts long, lv long")
+    right = _df(spark, [(1, 10, 111, 1), (1, 30, None, 2)],
+                "k long, ts long, rv long, rid long")
+    row = asof_join(
+        left, right, on="k", ts_col="ts", right_cols=["rv", "rid"]
+    ).first()
+    assert row.rid_asof == 2
+    assert row.rv_asof is None  # from the matched row, not 111

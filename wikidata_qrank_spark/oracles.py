@@ -449,6 +449,23 @@ SELECT user_id, session_seq,
 FROM sess GROUP BY user_id, session_seq
 """
 
+# As-of join: DuckDB's NATIVE ASOF LEFT JOIN is the independent
+# implementation checking the engine's union+running-last-window form.
+ORACLES["ev_asof_clicks"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.event_id AS click_event_id,
+       epoch_us(c.ts) AS click_ts_us,
+       floor(c.value * 1000000.0 + 0.5) / 1000000.0 AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
 ORACLES["ev_props_stats"] = """
 WITH parsed AS (
   SELECT event_type,
