@@ -484,6 +484,38 @@ def _ev_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases falling inside the 2-hour window after any
+    signup of the same user — bucketed-interval equi-join (intervals
+    replicate to their hour buckets, points land in one bucket; work ∝
+    matches, never points × intervals per key). Oracle: DuckDB's plain
+    inequality join (its native IEJoin plan)."""
+    from wikidata_qrank_spark.operators.rangejoin import range_join
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    two_h = 7_200_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        "user_id",
+        us.alias("start_us"),
+        (us + two_h).alias("end_us"),
+    )
+    return range_join(
+        purchases,
+        signups,
+        on="user_id",
+        point_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        bucket=3_600_000_000,
+    ).select("event_id", "user_id", "ts_us", "signup_event_id", "start_us")
+
+
 def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.sources.tables import load_table
     from wikidata_qrank_spark.streaming.events import windowed_event_counts
@@ -527,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["mm_media_features"] = _mm_media_features
     out["ev_windowed_counts"] = _ev_windowed_counts
     out["ev_asof_clicks"] = _ev_asof_clicks
+    out["ev_range_join"] = _ev_range_join
     out["ev_sessions"] = _ev_sessions
     out["ev_props_stats"] = _ev_props_stats
     out["ev_quantiles"] = _ev_quantiles

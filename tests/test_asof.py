@@ -63,3 +63,36 @@ def test_asof_null_right_field_stays_with_its_row(spark):
     ).first()
     assert row.rid_asof == 2
     assert row.rv_asof is None  # from the matched row, not 111
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    """Bucketed-interval range join == the naive inequality join on a
+    corpus with boundary hits, bucket-spanning intervals, and hot keys."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.operators.rangejoin import range_join
+
+    pts = [(k, t, 100 * k + t) for k in (1, 2) for t in range(0, 100, 7)]
+    points = spark.createDataFrame(pts, "k long, p long, pid long")
+    ivs = [
+        (1, 0, 10, 1),    # exact-boundary interval
+        (1, 10, 40, 2),   # spans several buckets (bucket=8)
+        (1, 95, 300, 3),  # extends past all points
+        (2, 13, 13, 4),   # degenerate single-point interval
+        (3, 0, 99, 5),    # key with no points
+    ]
+    intervals = spark.createDataFrame(ivs, "k long, s long, e long, iid long")
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            points, intervals, on="k", point_col="p", start_col="s",
+            end_col="e", bucket=8,
+        ).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals, ["k"]
+        ).filter((F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e"))).collect()
+    }
+    assert got == naive and len(got) > 5

@@ -466,6 +466,24 @@ SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
+# Range join: bucketed-interval equi-join in the engine vs DuckDB's
+# plain inequality join (native IEJoin) — independent formulations.
+ORACLES["ev_range_join"] = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT event_id AS signup_event_id, user_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + 7200000000 AS end_us
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, p.ts_us, s.signup_event_id, s.start_us
+FROM p JOIN s
+  ON p.user_id = s.user_id AND p.ts_us BETWEEN s.start_us AND s.end_us
+"""
+
 ORACLES["ev_props_stats"] = """
 WITH parsed AS (
   SELECT event_type,
