@@ -516,6 +516,18 @@ def _ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts_us", "signup_event_id", "start_us")
 
 
+def _ev_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup cascade: hour/day/week continuous aggregates,
+    each coarser level re-aggregated from the finer one (raw read
+    once). Oracle aggregates each level DIRECTLY from raw events —
+    integer-cents measures make cascade == direct, which is the
+    invariant a continuous aggregate must keep."""
+    from wikidata_qrank_spark.operators.rollup import rollup_cascade
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    return rollup_cascade(load_table(spark, sf_dir, "events"))
+
+
 def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.sources.tables import load_table
     from wikidata_qrank_spark.streaming.events import windowed_event_counts
@@ -560,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_windowed_counts"] = _ev_windowed_counts
     out["ev_asof_clicks"] = _ev_asof_clicks
     out["ev_range_join"] = _ev_range_join
+    out["ev_rollup_cascade"] = _ev_rollup_cascade
     out["ev_sessions"] = _ev_sessions
     out["ev_props_stats"] = _ev_props_stats
     out["ev_quantiles"] = _ev_quantiles

@@ -96,3 +96,27 @@ def test_range_join_bucketed_matches_naive(spark):
         ).filter((F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e"))).collect()
     }
     assert got == naive and len(got) > 5
+
+
+def test_rollup_cascade_levels_consistent(spark):
+    """Every coarser level's totals must equal the sum of its finer
+    children (the continuous-aggregate invariant), and the week level
+    equals a direct aggregation from raw."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.operators.rollup import rollup_cascade
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    r = rollup_cascade(ev)
+    totals = {
+        row.level: (row.n, row.v)
+        for row in r.groupBy("level")
+        .agg(F.sum("n_events").alias("n"), F.sum("value_c").alias("v"))
+        .collect()
+    }
+    assert totals["hour"] == totals["day"] == totals["week"]
+    n_raw = ev.count()
+    assert totals["hour"][0] == n_raw

@@ -1,0 +1,75 @@
+"""Hypertable-style rollup cascade: hour → day → week continuous
+aggregates, each COARSER level re-aggregated from the next finer level
+(never from raw) — the TimescaleDB/Druid pattern that makes a 100 TB
+event store queryable at any resolution while reading raw data exactly
+once.
+
+Re-aggregation is only correct for associative measures, so the value
+measure is fixed to integer cents at the hour level (``floor(v*100 +
+0.5)``): bigint sums re-associate exactly, where double sums would
+drift with aggregation order. The DuckDB oracle aggregates each level
+DIRECTLY from raw events — associativity makes the two formulations
+equal, and checking cascade-vs-direct is exactly the invariant a
+continuous-aggregate implementation must keep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LEVELS = ("hour", "day", "week")
+
+
+def rollup_cascade(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(level, bucket_us, event_type, n_events, value_c) for the hour,
+    day and week resolutions. One raw scan (the hour aggregation);
+    day/week aggregate the previous level's partials — at scale each
+    cascade step shuffles only the coarser-bucket cardinality."""
+    ts = F.col(ts_col).cast("timestamp")
+    hour = (
+        events.select(
+            F.date_trunc("hour", ts).alias("bucket"),
+            F.col(type_col).alias("event_type"),
+            F.floor(F.col(value_col) * 100 + 0.5).cast("long").alias("value_c"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value_c").cast("long").alias("value_c"),
+        )
+    )
+
+    def _coarsen(finer: DataFrame, unit: str) -> DataFrame:
+        return (
+            finer.groupBy(
+                F.date_trunc(unit, F.col("bucket")).alias("bucket"), "event_type"
+            )
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("value_c").cast("long").alias("value_c"),
+            )
+        )
+
+    day = _coarsen(hour, "day")
+    week = _coarsen(day, "week")
+
+    def _tag(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            F.unix_micros(F.col("bucket")).alias("bucket_us"),
+            "event_type",
+            "n_events",
+            "value_c",
+        )
+
+    return (
+        _tag(hour, "hour")
+        .unionByName(_tag(day, "day"))
+        .unionByName(_tag(week, "week"))
+    )

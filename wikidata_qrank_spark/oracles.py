@@ -484,6 +484,32 @@ FROM p JOIN s
   ON p.user_id = s.user_id AND p.ts_us BETWEEN s.start_us AND s.end_us
 """
 
+# Rollup cascade: the engine re-aggregates day from hour and week from
+# day; the oracle aggregates every level directly from raw events.
+# Equality IS the continuous-aggregate invariant (associative integer
+# measures).
+ORACLES["ev_rollup_cascade"] = """
+SELECT 'hour' AS level,
+       epoch_us(date_trunc('hour', ts)) AS bucket_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'day' AS level,
+       epoch_us(date_trunc('day', ts)) AS bucket_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'week' AS level,
+       epoch_us(date_trunc('week', ts)) AS bucket_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY 1, 2, 3"""
+
 ORACLES["ev_props_stats"] = """
 WITH parsed AS (
   SELECT event_type,
