@@ -431,6 +431,30 @@ def _ev_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_quantiles(spark, sf_dir)
 
 
+def _ev_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame analytics: lag + 5-row moving average per user in
+    ONE window exchange; frame sums in exact integer cents."""
+    from wikidata_qrank_spark.plans.analytics import user_moving_stats
+
+    return user_moving_stats(spark, sf_dir)
+
+
+def _ev_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: latest event per user (CDC current-state
+    view) — one shuffle on the upsert key."""
+    from wikidata_qrank_spark.plans.analytics import latest_user_state
+
+    return latest_user_state(spark, sf_dir)
+
+
+def _an_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE / grouping-sets aggregation with grouping_id, NULL cells
+    labeled; one partial-agg shuffle for all four grouping sets."""
+    from wikidata_qrank_spark.plans.analytics import sales_cube
+
+    return sales_cube(spark, sf_dir)
+
+
 def _ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30 min silence = new session):
     two shared-partition windows evaluated in one Window operator."""
@@ -573,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_asof_clicks"] = _ev_asof_clicks
     out["ev_range_join"] = _ev_range_join
     out["ev_rollup_cascade"] = _ev_rollup_cascade
+    out["ev_moving_avg"] = _ev_moving_avg
+    out["ev_latest_state"] = _ev_latest_state
+    out["an_sales_cube"] = _an_sales_cube
     out["ev_sessions"] = _ev_sessions
     out["ev_props_stats"] = _ev_props_stats
     out["ev_quantiles"] = _ev_quantiles

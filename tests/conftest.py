@@ -16,3 +16,8 @@ def spark():
     s = get_session("pytest", cpus=8)
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE

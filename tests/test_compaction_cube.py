@@ -1,0 +1,75 @@
+"""Changelog compaction + window-frame / cube analytics — small
+hand-computed fixtures (the gate checks the real tables vs DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata_qrank_spark.operators.compaction import compact_changelog
+
+
+def test_compact_changelog_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 100, 10, "a"),
+            (2, 100, 30, "b"),   # later ts wins
+            (3, 100, 30, "c"),   # same ts, higher change id wins
+            (4, 200, 5, "d"),    # single row key
+        ],
+        "change_id long, k long, ts long, payload string",
+    )
+    got = {
+        r.k: (r.change_id, r.payload)
+        for r in compact_changelog(
+            df, key_cols=["k"], ts_col="ts", tiebreak_col="change_id"
+        ).collect()
+    }
+    assert got == {100: (3, "c"), 200: (4, "d")}
+
+
+def test_compact_changelog_composite_key(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "x", 10), (2, 1, "x", 20), (3, 1, "y", 5)],
+        "change_id long, k1 long, k2 string, ts long",
+    )
+    out = compact_changelog(
+        df, key_cols=["k1", "k2"], ts_col="ts", tiebreak_col="change_id"
+    )
+    assert {r.change_id for r in out.collect()} == {2, 3}
+
+
+def test_moving_stats_frame_math(spark, sf_dir):
+    """The 5-row moving sum/avg: recompute one user's stream in Python
+    from the same cents quantization and compare row-for-row."""
+    from wikidata_qrank_spark.plans.analytics import user_moving_stats
+
+    out = user_moving_stats(spark, sf_dir)
+    uid = out.select("user_id").first().user_id
+    rows = sorted(
+        out.filter(F.col("user_id") == uid).collect(),
+        key=lambda r: (r.ts_us, r.event_id),
+    )
+    vals = [r.value_c for r in rows]
+    for i, r in enumerate(rows):
+        lo = max(0, i - 4)
+        frame = vals[lo : i + 1]
+        assert r.mov_sum_c == sum(frame)
+        assert r.mov_n == len(frame)
+        assert r.prev_value_c == (vals[i - 1] if i else None)
+
+
+def test_sales_cube_grouping_sets(spark, sf_dir):
+    """Grand total row equals the sum of the detail rows; grp bitmask
+    marks each grouping-set level."""
+    from wikidata_qrank_spark.plans.analytics import sales_cube
+
+    rows = sales_cube(spark, sf_dir).collect()
+    detail = [r for r in rows if r.grp == 0]
+    total = [r for r in rows if r.grp == 3]
+    assert len(total) == 1
+    assert total[0].returnflag == "ALL" and total[0].linestatus == "ALL"
+    assert total[0].n_rows == sum(r.n_rows for r in detail)
+    assert total[0].sum_qty_c == sum(r.sum_qty_c for r in detail)
+    # subtotal level: one row per distinct returnflag with linestatus='ALL'
+    sub_rf = {r.returnflag for r in rows if r.grp == 1}
+    assert sub_rf == {r.returnflag for r in detail}

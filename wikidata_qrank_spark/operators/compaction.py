@@ -1,0 +1,41 @@
+"""Changelog compaction — latest record per key.
+
+The standard lakehouse/CDC primitive the reference never needs (its
+inputs are immutable dumps) but any continuously-ingested deployment
+does: given an append-only stream of upserts, produce the current state
+= the most recent record per key. One shuffle (the window partition);
+ties broken by a caller-named column so the result is deterministic
+under the value-hash gate.
+
+At 100 TB this is the compaction pass of an incremental table: the
+window is partitioned by the upsert key, so it scales with key
+cardinality and never materializes more than one partition's history
+per task. Pair with ``repartitionByRange`` + sorted parquet (see
+operators/sinks.py) to produce merge-on-read-friendly output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def compact_changelog(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Latest row per ``key_cols``: max ``ts_col``, ties broken by max
+    ``tiebreak_col`` (must be unique within a (key, ts) group — e.g. a
+    monotonically increasing change id)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

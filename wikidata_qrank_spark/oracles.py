@@ -565,6 +565,44 @@ FROM orders
 GROUP BY 1, 2
 """
 
+ORACLES["ev_moving_avg"] = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT event_id, user_id, ts_us, value_c,
+       lag(value_c) OVER w AS prev_value_c,
+       CAST(sum(value_c) OVER wf AS BIGINT) AS mov_sum_c,
+       CAST(count(*) OVER wf AS BIGINT) AS mov_n,
+       floor(CAST(sum(value_c) OVER wf AS DOUBLE) / (count(*) OVER wf)
+             * 1000000.0 + 0.5) / 1000000.0 AS mov_avg_c
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["ev_latest_state"] = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+) = 1
+"""
+
+ORACLES["an_sales_cube"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS grp
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
 ORACLES["td_embedding_near_dups"] = """
 WITH v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 120),
 scored AS (

@@ -92,6 +92,76 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame analytics: per-user event stream ordered by
+    (ts, event_id) with the previous value (lag) and a 5-row moving
+    average. The frame sum stays in exact integer cents (long) so the
+    only float op is the final division — bit-stable across engines
+    regardless of frame-evaluation order. ONE exchange (the window
+    partition) serves both window functions."""
+    from ..functions.precision import round6
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wf = w.rowsBetween(-4, Window.currentRow)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            _cents(F.col("value")).alias("value_c"),
+        )
+        .withColumn("prev_value_c", F.lag("value_c", 1).over(w))
+        .withColumn("mov_sum_c", F.sum("value_c").over(wf))
+        .withColumn("mov_n", F.count(F.lit(1)).over(wf).cast("long"))
+        .withColumn("mov_avg_c", round6(F.col("mov_sum_c") / F.col("mov_n")))
+    )
+
+
+def latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction demo: the events table read as an upsert
+    stream keyed by user_id — current state = the most recent event per
+    user (ties on ts broken by max event_id)."""
+    from ..operators.compaction import compact_changelog
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        _cents(F.col("value")).alias("value_c"),
+    )
+    return compact_changelog(
+        e, key_cols=["user_id"], ts_col="ts_us", tiebreak_col="event_id"
+    )
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (grouping sets): lineitem totals at every
+    combination of (returnflag, linestatus) including subtotals and the
+    grand total, with the grouping bitmask. Spark expands the cube into
+    grouping sets and still does ONE partial-agg shuffle; NULL group
+    cells are labeled 'ALL' so the gate hash is unambiguous."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.grouping_id().cast("long").alias("grp"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty_c",
+            "sum_base_c",
+            "n_rows",
+            "grp",
+        )
+    )
+
+
 def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured demo: JSON props column → typed extraction
     (get_json_object, JVM-side) → per-type aggregates."""
