@@ -281,6 +281,22 @@ def _td_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters_scaled(docs, threshold=0.5, hash_family="md5")
 
 
+def _td_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity join at scale: prefix filtering (rarest-shingle
+    prefixes under a document-frequency order — a lossless candidate
+    filter by the SSJoin prefix lemma) → exact Jaccard on candidates
+    only. The oracle computes the naive all-pairs answer; equality IS
+    the losslessness proof. Runs over the near-dup-injected corpus like
+    td_dup_clusters_lsh."""
+    from wikidata_qrank_spark.operators.dedup import (
+        inject_near_dups,
+        jaccard_prefix_pairs,
+    )
+
+    docs = inject_near_dups(_documents(spark, sf_dir))
+    return jaccard_prefix_pairs(docs, n=3, threshold=0.5)
+
+
 def _td_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage check: bench set = doc_id % 97 == 0, train =
     the rest; ≥2 shared distinct 3-grams flags a (train, bench) pair."""
@@ -583,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_dup_clusters_lsh"] = _td_dup_clusters_lsh
     out["td_curation"] = _td_curation
     out["td_winnow_fps"] = _td_winnow_fps
+    out["td_jaccard_prefix"] = _td_jaccard_prefix
     out["td_contamination"] = _td_contamination
     out["td_pii_scrub"] = _td_pii_scrub
     out["td_minhash_pairs"] = _td_minhash_pairs

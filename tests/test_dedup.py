@@ -122,3 +122,44 @@ def test_simhash_portable_band_keys_bounded(spark):
     for r in rows:
         for b in range(4):
             assert 0 <= r[f"k{b}"] < (1 << 16)
+
+
+def test_jaccard_prefix_equals_naive_exact_join(spark):
+    """Prefix filtering is LOSSLESS: same pairs and values as the naive
+    all-pairs exact join, at several thresholds (including one low
+    enough that prefixes span most of each doc)."""
+    from wikidata_qrank_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = _docs(spark)
+    for t in (0.06, 0.5, 0.9):
+        naive = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_prefix_pairs(docs, n=3, threshold=t).collect()
+        }
+        assert pref == naive, f"threshold {t}"
+
+
+def test_jaccard_prefix_on_injected_corpus(spark):
+    """On the near-dup-injected smoke corpus the prefix join reproduces
+    the naive join exactly (the gate re-proves this vs DuckDB)."""
+    from wikidata_qrank_spark.operators.dedup import (
+        inject_near_dups,
+        jaccard_prefix_pairs,
+    )
+
+    docs = inject_near_dups(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    naive = set(
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    )
+    pref = set(
+        (r.doc_a, r.doc_b)
+        for r in jaccard_prefix_pairs(docs, n=3, threshold=0.5).collect()
+    )
+    assert pref == naive and len(pref) > 0

@@ -166,6 +166,61 @@ def jaccard_verify_candidates(
     )
 
 
+def jaccard_prefix_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) with n-gram Jaccard ≥ threshold —
+    EXACT result via prefix filtering (SSJoin/PPJoin): provably the same
+    pairs as :func:`ngram_jaccard_pairs`, without its hot-shingle
+    quadratic self-join.
+
+    Under any total token order, if J(x,y) ≥ t then the first
+    |d| − ⌈t·|d|⌉ + 1 tokens of each side share at least one token
+    (take c* = min of the common tokens: were c* outside x's prefix,
+    every common token would sit in x's ⌈t·|x|⌉−1 suffix, fewer than
+    the ⌈t·|x|⌉ overlap J ≥ t forces). So joining PREFIX tokens only is
+    a lossless candidate filter; exact Jaccard is then computed on
+    candidates alone (:func:`jaccard_verify_candidates`).
+
+    The order is ascending document frequency — prefixes hold each
+    doc's RAREST shingles, so the popular shingles that blow up the
+    naive self-join almost never enter the join at all. Cost: one
+    shuffle to count shingle df, one groupBy(doc_id) to sort+slice the
+    prefix (state bounded by doc length), a self-join that touches
+    ~(1−t)·|d| rare tokens per doc, then the linear candidate verify.
+    This is the exact-join counterpart of the minhash LSH path (which
+    stays the right choice when a sketch-level recall bound suffices).
+    """
+    sh = _shingles(documents, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ranked = sh.join(freq, "shingle")
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("toks")
+    )
+    n_sh = F.size("toks")
+    prefix_len = (n_sh - F.ceil(n_sh * F.lit(float(threshold))) + 1).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        F.explode(F.slice("toks", 1, prefix_len)).alias("t"),
+    ).select("doc_id", F.col("t.shingle").alias("shingle"))
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return jaccard_verify_candidates(
+        documents, cand, text_col=text_col, n=n, threshold=threshold
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     bench: DataFrame,

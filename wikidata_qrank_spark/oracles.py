@@ -1029,6 +1029,46 @@ SELECT node AS doc_id, least(node, min(r)) AS component
 FROM reach GROUP BY node
 """
 
+# Prefix-filtered exact similarity join: the ENGINE prunes with rarest-
+# shingle prefixes (lossless by the SSJoin prefix lemma); the oracle just
+# computes the exact all-pairs answer the filter must reproduce.
+ORACLES["td_jaccard_prefix"] = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+toks AS (
+  SELECT doc_id, l FROM base
+  UNION ALL
+  SELECT doc_id + 10000000,
+         string_split(array_to_string(l[1:greatest(len(l) - 2, 1)], ' '), ' ')
+  FROM base WHERE doc_id % 50 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                 i -> array_to_string(l[i:i+2], ' '))) AS gram
+    FROM toks
+  ) WHERE length(gram) > 0
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       floor(CAST(i.n_inter AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE floor(CAST(i.n_inter AS DOUBLE)
+            / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+"""
+
 ORACLES["td_contamination"] = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS l FROM documents
