@@ -281,6 +281,34 @@ def _td_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters_scaled(docs, threshold=0.5, hash_family="md5")
 
 
+def _td_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates (en 50%,
+    zh 25%, rest 10%) decided per row from a portable content hash —
+    the oracle reproduces the exact keep/drop set, proving the sample
+    is engine- and partitioning-independent."""
+    from wikidata_qrank_spark.operators.sampling import stratified_sample
+
+    docs = _documents(spark, sf_dir)
+    return stratified_sample(
+        docs, "lang", "doc_id", {"en": 500, "zh": 250}, default_permille=100
+    ).select("doc_id", "lang")
+
+
+def _td_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog: distinct-token estimate per language.
+    Unlike approx_count_distinct (JVM-internal hash), every register is
+    derivable by any engine — the oracle recomputes the sketch itself,
+    not just a tolerance check."""
+    from wikidata_qrank_spark.operators.sketches import hll_distinct
+
+    toks = (
+        _documents(spark, sf_dir)
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    return hll_distinct(toks, "token", group_cols=["lang"])
+
+
 def _td_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT similarity join at scale: prefix filtering (rarest-shingle
     prefixes under a document-frequency order — a lossless candidate
@@ -463,6 +491,15 @@ def _ev_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_user_state(spark, sf_dir)
 
 
+def _an_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-bloom runtime filter ahead of the exact fact join:
+    map-side pruning, fact shuffle ∝ candidates; oracle is the plain
+    join (the bloom must be correctness-neutral)."""
+    from wikidata_qrank_spark.plans.analytics import high_value_revenue_bloom
+
+    return high_value_revenue_bloom(spark, sf_dir)
+
+
 def _an_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE / grouping-sets aggregation with grouping_id, NULL cells
     labeled; one partial-agg shuffle for all four grouping sets."""
@@ -599,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_dup_clusters_lsh"] = _td_dup_clusters_lsh
     out["td_curation"] = _td_curation
     out["td_winnow_fps"] = _td_winnow_fps
+    out["td_sample"] = _td_sample
+    out["td_hll_tokens"] = _td_hll_tokens
     out["td_jaccard_prefix"] = _td_jaccard_prefix
     out["td_contamination"] = _td_contamination
     out["td_pii_scrub"] = _td_pii_scrub
@@ -617,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_moving_avg"] = _ev_moving_avg
     out["ev_latest_state"] = _ev_latest_state
     out["an_sales_cube"] = _an_sales_cube
+    out["an_bloom_semijoin"] = _an_bloom_semijoin
     out["ev_sessions"] = _ev_sessions
     out["ev_props_stats"] = _ev_props_stats
     out["ev_quantiles"] = _ev_quantiles

@@ -1,0 +1,45 @@
+"""Bloom-filter semi-join pruning — superset guarantee, false-positive
+behavior, and plan shape (the gate proves end-to-end neutrality vs the
+plain-join oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata_qrank_spark.operators.bloom import bloom_build, bloom_prune
+
+
+def test_bloom_never_drops_a_true_match(spark):
+    dim = spark.range(0, 500, 7).select(F.col("id").alias("k"))
+    fact = spark.range(2000).select(F.col("id").alias("k"))
+    pos = bloom_build(dim, "k")
+    kept = {r.k for r in bloom_prune(fact, "k", pos).collect()}
+    true_keys = {r.k for r in dim.collect()}
+    assert true_keys <= kept
+
+
+def test_bloom_small_filter_prunes_hard(spark):
+    """With m_bits >> k·|dim| the false-positive rate is tiny: almost
+    everything outside the dim key set is dropped map-side."""
+    dim = spark.range(100).select(F.col("id").alias("k"))
+    fact = spark.range(100_000).select(F.col("id").alias("k"))
+    kept = bloom_prune(fact, "k", bloom_build(dim, "k")).count()
+    assert 100 <= kept < 200  # fp rate ~ (k*n/m)^k ≈ 2e-11 here
+
+
+def test_bloom_prune_is_map_side(spark):
+    """No shuffle of the fact: the physical plan must contain only
+    BroadcastExchange (the positions), never an Exchange hashpartitioning
+    of the fact side before the semi joins."""
+    dim = spark.range(50).select(F.col("id").alias("k"))
+    fact = spark.range(10_000).select(F.col("id").alias("k"), F.lit("x").alias("payload"))
+    plan = (
+        bloom_prune(fact, "k", bloom_build(dim, "k"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    # every shuffle in the plan belongs to the (tiny) positions build
+    # side — the fact lineage itself must have none
+    assert plan.count("hashpartitioning(") == plan.count("hashpartitioning(pos#")

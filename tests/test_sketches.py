@@ -1,0 +1,79 @@
+"""Portable HyperLogLog — accuracy vs exact distinct, determinism
+(the gate recomputes the whole sketch in DuckDB and hash-compares)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata_qrank_spark.operators.sketches import hll_distinct, hll_error_bound
+
+
+def _tokens(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+
+
+def test_hll_within_error_bound(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    est = {r.lang: r.hll_estimate for r in hll_distinct(toks, "token", ["lang"]).collect()}
+    exact = {
+        r.lang: r.n
+        for r in toks.groupBy("lang").agg(F.countDistinct("token").alias("n")).collect()
+    }
+    bound = 5 * hll_error_bound(12)  # 5 sigma ≈ 8%
+    assert set(est) == set(exact)
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) <= bound * n + 2, (lang, est[lang], n)
+
+
+def test_hll_duplicate_insensitive(spark):
+    """The estimate depends only on the distinct value set — feeding
+    every value 3x changes nothing."""
+    vals = spark.range(1000).select(F.concat(F.lit("v"), "id").alias("v"))
+    tripled = vals.unionAll(vals).unionAll(vals)
+    one = hll_distinct(vals, "v").first().hll_estimate
+    three = hll_distinct(tripled, "v").first().hll_estimate
+    assert one == three
+
+
+def test_hll_global_no_groups(spark):
+    out = hll_distinct(
+        spark.createDataFrame([("a",), ("b",), ("a",)], "v string"), "v"
+    ).collect()
+    assert len(out) == 1
+    # 3 distinct-ish tiny input lands in the linear-counting branch,
+    # which is exact to within rounding at this size
+    assert abs(out[0].hll_estimate - 2) < 1
+
+
+def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    """Same sample under repartitioning; per-stratum rates roughly
+    honored; unknown strata use the default."""
+    from wikidata_qrank_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 500, "zh": 250}
+    s1 = {r.doc_id for r in stratified_sample(docs, "lang", "doc_id", rates).collect()}
+    s2 = {
+        r.doc_id
+        for r in stratified_sample(
+            docs.repartition(17), "lang", "doc_id", rates
+        ).collect()
+    }
+    assert s1 == s2 and len(s1) > 0
+    by_lang = {
+        r.lang: r.n
+        for r in stratified_sample(docs, "lang", "doc_id", rates)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # en keeps roughly half; non-listed langs keep roughly 10%
+    assert by_lang.get("en", 0) > 0.25 * totals["en"]
+    for lang in totals:
+        if lang not in rates:
+            assert by_lang.get(lang, 0) < 0.5 * totals[lang]

@@ -1029,6 +1029,56 @@ SELECT node AS doc_id, least(node, min(r)) AS component
 FROM reach GROUP BY node
 """
 
+# HyperLogLog with a PORTABLE hash (md5 → 60-bit int): both engines
+# derive the same registers, integer-exact register fold, so the
+# estimates agree to the last round6 digit. 49 = remainder bits + 1
+# (60-bit hash, 12 bucket bits); 281474976710655 = 2^48 - 1;
+# 562949953421312.0 = 2^49.
+ORACLES["td_hll_tokens"] = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT lang, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+  FROM tok WHERE length(token) > 0
+),
+mx AS (
+  SELECT lang, h >> 48 AS bucket,
+         max(CASE WHEN (h & 281474976710655) = 0 THEN 49
+                  ELSE 49 - length(bin(h & 281474976710655)) END) AS mx
+  FROM hashed GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang,
+         sum(CAST(1 AS BIGINT) << (49 - mx)) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_nonzero
+  FROM mx GROUP BY lang
+),
+est AS (
+  SELECT lang, n_nonzero,
+         (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 * 562949953421312.0
+           / CAST(s_present + (4096 - n_nonzero) * (CAST(1 AS BIGINT) << 49)
+                  AS DOUBLE) AS raw,
+         4096 - n_nonzero AS zeros
+  FROM agg
+)
+SELECT lang, CAST(4096 AS BIGINT) AS n_buckets, n_nonzero,
+       floor((CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                   THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END)
+             * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate
+FROM est
+"""
+
+# Deterministic stratified sampling: the oracle reproduces the exact
+# per-row keep/drop decision from the same md5 hash — not a rate check.
+ORACLES["td_sample"] = """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST('0x' || substr(md5('strat:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) % 1000
+      < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 250 ELSE 100 END
+"""
+
 # Prefix-filtered exact similarity join: the ENGINE prunes with rarest-
 # shingle prefixes (lossless by the SSJoin prefix lemma); the oracle just
 # computes the exact all-pairs answer the filter must reproduce.
@@ -1231,6 +1281,17 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+"""
+
+# Bloom pruning is correctness-neutral: the oracle is the PLAIN join.
+ORACLES["an_bloom_semijoin"] = """
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE floor(o.o_totalprice * 100 + 0.5) > 40000000
+GROUP BY l.l_returnflag
 """
 
 ORACLES["an_top_orders"] = """

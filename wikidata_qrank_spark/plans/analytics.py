@@ -162,6 +162,30 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def high_value_revenue_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact join: revenue per returnflag over lineitems of
+    high-value orders. The fact side is first cut map-side by a
+    broadcast bloom of the qualifying orderkeys (operators/bloom.py),
+    so only candidates reach the exact join — the pattern that keeps
+    the fact shuffle proportional to MATCHES when the dim key set
+    outgrows a broadcast hash table. The bloom is correctness-neutral
+    (exact join follows), which is exactly what the oracle checks."""
+    from ..operators.bloom import bloom_build, bloom_prune
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    hv = o.filter(_cents(F.col("o_totalprice")) > 40_000_000).select("o_orderkey")
+    cand = bloom_prune(li, "l_orderkey", bloom_build(hv, "o_orderkey"))
+    return (
+        cand.join(hv, cand.l_orderkey == hv.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+        )
+    )
+
+
 def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured demo: JSON props column → typed extraction
     (get_json_object, JVM-side) → per-type aggregates."""
