@@ -171,6 +171,15 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_kg_edges(spark, sf_dir), iters=3, damping=0.85)
 
 
+def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the triple graph — degree-ordered
+    wedge join (hub-safe); oracle recounts with a plain ordered 3-way
+    self-join."""
+    from wikidata_qrank_spark.operators.graph import triangles
+
+    return triangles(_kg_edges(spark, sf_dir))
+
+
 def _kg_item_signals_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """item_signals extended with the PageRank column the reference
     reserves a slot for (itemsignals.go:40): left join of the per-item
@@ -279,6 +288,25 @@ def _td_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = inject_near_dups(_documents(spark, sf_dir))
     return dup_clusters_scaled(docs, threshold=0.5, hash_family="md5")
+
+
+def _td_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary near-spellings: SymSpell deletion-neighborhood join
+    (work ∝ Σ token length) verified by exact levenshtein; oracle is
+    the naive quadratic scan. Vocab gets deterministic misspelling
+    injection (oracle-mirrored) since the synthetic corpus has none."""
+    from wikidata_qrank_spark.operators.dedup import (
+        edit_distance_pairs,
+        inject_misspellings,
+    )
+
+    vocab = (
+        _documents(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    return edit_distance_pairs(inject_misspellings(vocab))
 
 
 def _td_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,6 +621,32 @@ def _ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts_us", "signup_event_id", "start_us")
 
 
+def _ev_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: per-user aggregate maintained as
+    merge(agg(base), agg(delta)) with base = event_id % 10 != 0 and
+    delta = the rest — the oracle aggregates base ∪ delta directly, so
+    hash equality IS the IVM invariant (absorbing a new batch never
+    re-reads history)."""
+    from wikidata_qrank_spark.operators.rollup import merge_aggregate_state
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_c"),
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value_c").cast("long").alias("sum_value_c"),
+        )
+
+    base = agg(ev.filter(F.col("event_id") % 10 != 0))
+    delta = agg(ev.filter(F.col("event_id") % 10 == 0))
+    return merge_aggregate_state(base, delta, keys=["user_id"])
+
+
 def _ev_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable rollup cascade: hour/day/week continuous aggregates,
     each coarser level re-aggregated from the finer one (raw read
@@ -624,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_item_signals_fused"] = _kg_item_signals_fused
     out["kg_degrees"] = _kg_degrees
     out["kg_pagerank"] = _kg_pagerank
+    out["kg_triangles"] = _kg_triangles
     out["kg_item_signals_pr"] = _kg_item_signals_pr
     out["td_fingerprints"] = _td_fingerprints
     out["td_exact_dedup"] = _td_exact_dedup
@@ -636,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_dup_clusters_lsh"] = _td_dup_clusters_lsh
     out["td_curation"] = _td_curation
     out["td_winnow_fps"] = _td_winnow_fps
+    out["td_edit_pairs"] = _td_edit_pairs
     out["td_sample"] = _td_sample
     out["td_hll_tokens"] = _td_hll_tokens
     out["td_jaccard_prefix"] = _td_jaccard_prefix
@@ -653,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_asof_clicks"] = _ev_asof_clicks
     out["ev_range_join"] = _ev_range_join
     out["ev_rollup_cascade"] = _ev_rollup_cascade
+    out["ev_incremental_agg"] = _ev_incremental_agg
     out["ev_moving_avg"] = _ev_moving_avg
     out["ev_latest_state"] = _ev_latest_state
     out["an_sales_cube"] = _an_sales_cube

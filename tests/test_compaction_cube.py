@@ -73,3 +73,37 @@ def test_sales_cube_grouping_sets(spark, sf_dir):
     # subtotal level: one row per distinct returnflag with linestatus='ALL'
     sub_rf = {r.returnflag for r in rows if r.grp == 1}
     assert sub_rf == {r.returnflag for r in detail}
+
+
+def test_merge_aggregate_state_equals_full_recompute(spark):
+    """IVM invariant on a hand dataset, including a key present only in
+    the delta and one only in the base."""
+    from wikidata_qrank_spark.operators.rollup import merge_aggregate_state
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+        )
+
+    base = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "k long, v long")
+    delta = spark.createDataFrame([(1, 1), (3, 7)], "k long, v long")
+    merged = {
+        r.k: (r.n, r.s)
+        for r in merge_aggregate_state(agg(base), agg(delta), keys=["k"]).collect()
+    }
+    full = {
+        r.k: (r.n, r.s) for r in agg(base.unionByName(delta)).collect()
+    }
+    assert merged == full == {1: (3, 31), 2: (1, 5), 3: (1, 7)}
+
+
+def test_merge_aggregate_state_schema_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from wikidata_qrank_spark.operators.rollup import merge_aggregate_state
+
+    a = spark.createDataFrame([(1, 2)], "k long, n long")
+    b = spark.createDataFrame([(1, 2)], "k long, m long")
+    with _pytest.raises(ValueError):
+        merge_aggregate_state(a, b, keys=["k"])

@@ -163,3 +163,29 @@ def test_jaccard_prefix_on_injected_corpus(spark):
         for r in jaccard_prefix_pairs(docs, n=3, threshold=0.5).collect()
     )
     assert pref == naive and len(pref) > 0
+
+
+def test_edit_distance_pairs_matches_naive(spark):
+    """Deletion-neighborhood join = naive quadratic scan, including the
+    'ab'/'ba' false-positive case the verify step must reject."""
+    from itertools import combinations
+
+    from wikidata_qrank_spark.operators.dedup import edit_distance_pairs
+
+    words = ["spark", "spork", "sparks", "park", "ab", "ba", "banana", "bananas"]
+    vocab = spark.createDataFrame([(w,) for w in words], "token string")
+    got = {(r.tok_a, r.tok_b) for r in edit_distance_pairs(vocab).collect()}
+
+    def lev(s, t):
+        d = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+        return d[-1]
+
+    want = {
+        tuple(sorted(p)) for p in combinations(words, 2) if lev(*p) <= 1
+    }
+    assert got == want
+    assert ("ab", "ba") not in got  # neighborhood FP, rejected by verify

@@ -37,3 +37,23 @@ def test_pagerank_deterministic_across_runs(spark):
 def test_pagerank_empty(spark):
     e = _edges(spark, [])
     assert pagerank(e).count() == 0
+
+
+def test_triangles_counts_with_dups_and_loops(spark):
+    """Two triangles sharing node 3; reverse/parallel edges and a
+    self-loop must collapse before counting."""
+    from wikidata_qrank_spark.operators.graph import triangles
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (4, 4), (3, 4), (4, 5), (5, 3), (3, 4)],
+        "src_id long, dst_id long",
+    )
+    got = {r.node: r.n_triangles for r in triangles(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_triangles_none(spark):
+    from wikidata_qrank_spark.operators.graph import triangles
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src_id long, dst_id long")
+    assert triangles(edges).count() == 0

@@ -221,6 +221,66 @@ def jaccard_prefix_pairs(
     )
 
 
+def edit_distance_pairs(
+    vocab: DataFrame, token_col: str = "token", max_dist: int = 1
+) -> DataFrame:
+    """(tok_a, tok_b, dist) for vocabulary entries within edit distance
+    1 — SymSpell-style deletion neighborhoods.
+
+    Two strings are within Levenshtein distance 1 only if their
+    1-deletion neighborhoods (the string itself plus every single-char
+    deletion) intersect, so the candidate join runs on exploded
+    variants — work ∝ Σ token_length, never vocab² — and exact
+    ``levenshtein`` verifies candidates (the neighborhood test admits
+    false positives like 'ab'/'ba'). The naive all-pairs scan the
+    oracle uses is quadratic in vocab size; this is the composition
+    that holds for a 100M-term vocabulary.
+
+    Only max_dist=1 is supported (deeper distances need recursive
+    deletion neighborhoods, depth = max_dist).
+    """
+    if max_dist != 1:
+        raise ValueError("edit_distance_pairs supports max_dist=1 only")
+    tok = F.col(token_col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.concat(
+            tok.substr(F.lit(1), i - 1), tok.substr(i + 1, F.length(tok))
+        ),
+    )
+    variants = F.array_distinct(F.concat(F.array(tok), deletions))
+    v = vocab.select(tok.alias("token")).distinct()
+    exploded = v.select("token", F.explode(variants).alias("variant"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(b, F.col("a.variant") == F.col("b.variant"))
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(F.col("a.token").alias("tok_a"), F.col("b.token").alias("tok_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("tok_a", "tok_b").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def inject_misspellings(
+    vocab: DataFrame, token_col: str = "token", min_len: int = 5
+) -> DataFrame:
+    """Deterministic misspelling injection for gate/validation runs:
+    every token of length ≥ min_len gains a last-char-dropped variant
+    (edit distance 1 from its source). Mirrors the inject_near_dups /
+    inject_contact pattern — the synthetic vocabulary has no organic
+    near-spellings, so without injection an edit-distance check is
+    vacuous; the oracle derives the identical variants."""
+    tok = F.col(token_col)
+    variants = vocab.filter(F.length(tok) >= min_len).select(
+        tok.substr(F.lit(1), F.length(tok) - 1).alias(token_col)
+    )
+    return vocab.select(token_col).unionByName(variants).distinct()
+
+
 def ngram_contamination(
     train: DataFrame,
     bench: DataFrame,

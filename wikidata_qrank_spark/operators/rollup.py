@@ -73,3 +73,27 @@ def rollup_cascade(
         .unionByName(_tag(day, "day"))
         .unionByName(_tag(week, "week"))
     )
+
+
+def merge_aggregate_state(
+    state: DataFrame, delta_state: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental view maintenance for ADDITIVE aggregates: merge a
+    stored partial-aggregate state with a new batch's partials (union +
+    per-key re-sum). Every non-key column must be an additive measure
+    (counts, integer sums) — the same associativity contract as
+    :func:`rollup_cascade`. Correctness invariant (what the gate
+    checks): merge(agg(base), agg(delta)) == agg(base ∪ delta), so an
+    incremental pipeline never re-reads history to absorb a new batch.
+    Shuffle cost ∝ |state| + |delta partials|, independent of the raw
+    history size."""
+    measures = [c for c in state.columns if c not in keys]
+    if state.columns != delta_state.columns:
+        raise ValueError(
+            f"state/delta schema mismatch: {state.columns} vs {delta_state.columns}"
+        )
+    return (
+        state.unionByName(delta_state)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in measures])
+    )

@@ -223,6 +223,28 @@ LEFT JOIN (SELECT v, count(*) AS d FROM edges GROUP BY v) i ON n.node = i.v
 )
 
 
+# Triangle participation counts: plain ordered 3-way self-join (no
+# degree orientation) — independent of the engine's ordered-wedge plan.
+ORACLES["kg_triangles"] = kg_sql(
+    _EDGES_CTE
+    + """
+, und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM edges WHERE u <> v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+GROUP BY node
+"""
+)
+
+
 def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     """Unrolled PageRank recurrence — per-iteration round6 makes the
     float fixpoint identical to the engine's iterative joins."""
@@ -563,6 +585,16 @@ SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS order_year,
        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM orders
 GROUP BY 1, 2
+"""
+
+# IVM invariant: the oracle aggregates the WHOLE table directly; the
+# engine merges separately-aggregated base and delta states.
+ORACLES["ev_incremental_agg"] = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events
+GROUP BY user_id
 """
 
 ORACLES["ev_moving_avg"] = """
@@ -1067,6 +1099,27 @@ SELECT lang, CAST(4096 AS BIGINT) AS n_buckets, n_nonzero,
                    THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END)
              * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate
 FROM est
+"""
+
+# Edit-distance pairs: the ENGINE joins SymSpell deletion neighborhoods;
+# the oracle does the naive quadratic scan with native levenshtein().
+# Vocabulary = corpus tokens + injected last-char-dropped misspellings
+# (inject_misspellings mirror, min length 5).
+ORACLES["td_edit_pairs"] = """
+WITH base AS (
+  SELECT DISTINCT tok AS token
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE length(tok) > 0
+),
+vocab AS (
+  SELECT token FROM base
+  UNION
+  SELECT substr(token, 1, length(token) - 1) FROM base WHERE length(token) >= 5
+)
+SELECT a.token AS tok_a, b.token AS tok_b,
+       CAST(levenshtein(a.token, b.token) AS BIGINT) AS dist
+FROM vocab a
+JOIN vocab b ON a.token < b.token AND levenshtein(a.token, b.token) <= 1
 """
 
 # Deterministic stratified sampling: the oracle reproduces the exact
