@@ -98,6 +98,27 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
                 dedup.inject_near_dups(docs), threshold=0.5
             ).count()
 
+        def _jaccard_prefix():
+            # exact similarity join on the prefix-filtered candidate set
+            return dedup.jaccard_prefix_pairs(
+                dedup.inject_near_dups(docs), n=3, threshold=0.5
+            ).count()
+
+        def _hll_tokens():
+            from pyspark.sql import functions as F
+
+            from wikidata_qrank_spark.operators.sketches import hll_distinct
+
+            toks = docs.select(
+                "lang", F.explode(F.split("text", " ")).alias("token")
+            ).filter(F.length("token") > 0)
+            return hll_distinct(toks, "token", ["lang"]).count()
+
+        def _triangles():
+            from wikidata_qrank_spark.operators.graph import triangles
+
+            return triangles(g["triples"].select("src_id", "dst_id")).count()
+
         extended = {
             "q6_exact_dedup": lambda: dedup.exact_duplicate_groups(docs).count(),
             "q7_minhash_pairs": lambda: dedup.minhash_lsh_pairs(docs).count(),
@@ -110,6 +131,11 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             "q11_contamination": _contamination,
             # round-3 addition: the end-to-end scale dedup composition
             "q12_dup_clusters_lsh": _dup_clusters_lsh,
+            # round-3 late additions: exact-join scale path, portable
+            # HLL, degree-ordered triangles
+            "q13_jaccard_prefix": _jaccard_prefix,
+            "q14_hll_tokens": _hll_tokens,
+            "q15_triangles": _triangles,
         }
         for name, action in extended.items():
             timings[name] = _timed_min(action)
