@@ -519,6 +519,15 @@ def _ev_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_user_state(spark, sf_dir)
 
 
+def _an_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (big-side row-hash salt, small side
+    replicated into every bucket); oracle is the plain join — salting
+    must be result-transparent."""
+    from wikidata_qrank_spark.plans.analytics import revenue_by_priority_salted
+
+    return revenue_by_priority_salted(spark, sf_dir)
+
+
 def _an_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-bloom runtime filter ahead of the exact fact join:
     map-side pruning, fact shuffle ∝ candidates; oracle is the plain
@@ -621,6 +630,16 @@ def _ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts_us", "signup_event_id", "start_us")
 
 
+def _ev_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join (batch form of the stream-stream join
+    in streaming/events.py — the streaming parity test feeds the same
+    rows through both)."""
+    from wikidata_qrank_spark.sources.tables import load_table
+    from wikidata_qrank_spark.streaming.events import click_purchase_join
+
+    return click_purchase_join(load_table(spark, sf_dir, "events"))
+
+
 def _ev_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: per-user aggregate maintained as
     merge(agg(base), agg(delta)) with base = event_id % 10 != 0 and
@@ -710,10 +729,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_range_join"] = _ev_range_join
     out["ev_rollup_cascade"] = _ev_rollup_cascade
     out["ev_incremental_agg"] = _ev_incremental_agg
+    out["ev_click_purchase_join"] = _ev_click_purchase_join
     out["ev_moving_avg"] = _ev_moving_avg
     out["ev_latest_state"] = _ev_latest_state
     out["an_sales_cube"] = _an_sales_cube
     out["an_bloom_semijoin"] = _an_bloom_semijoin
+    out["an_salted_join"] = _an_salted_join
     out["ev_sessions"] = _ev_sessions
     out["ev_props_stats"] = _ev_props_stats
     out["ev_quantiles"] = _ev_quantiles

@@ -43,3 +43,47 @@ def test_bloom_prune_is_map_side(spark):
     # every shuffle in the plan belongs to the (tiny) positions build
     # side — the fact lineage itself must have none
     assert plan.count("hashpartitioning(") == plan.count("hashpartitioning(pos#")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Inner and left salted joins reproduce the plain join exactly,
+    including unmatched-left rows and duplicate small-side keys."""
+    from wikidata_qrank_spark.operators.skewjoin import salted_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "z")], "k long, payload string"
+    )
+    small = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "w")], "k long, tag string"
+    )
+    for how in ("inner", "left"):
+        plain = {
+            (r.k, r.payload, r.tag)
+            for r in big.join(small, "k", how).collect()
+        }
+        salted = {
+            (r.k, r.payload, r.tag)
+            for r in salted_join(big, small, on="k", how=how, salt_buckets=4).collect()
+        }
+        assert salted == plain, how
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A hot key's rows land in every salt bucket (the point of the
+    exercise): check the pre-join salt distribution directly."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(4000).select(F.lit(7).alias("k"), F.col("id"))
+    salted = big.withColumn("__salt", F.pmod(F.xxhash64(*big.columns), F.lit(16)))
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets == 16
+
+
+def test_salted_join_rejects_right_join(spark):
+    import pytest as _pytest
+
+    from wikidata_qrank_spark.operators.skewjoin import salted_join
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        salted_join(df, df, on="k", how="right")

@@ -104,3 +104,39 @@ def test_sessionize_gap_semantics(spark):
 
     plan = sessionize(events)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange ") == 1
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides, event-time
+    range in the join condition) produces exactly the batch attribution
+    join over the same rows."""
+    from wikidata_qrank_spark.streaming.events import (
+        click_purchase_join,
+        streaming_click_purchase_join,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    subset = events.limit(3000)
+    src = str(tmp_path / "ev_join_src")
+    subset.coalesce(3).write.parquet(src)
+
+    batch = {
+        (r.click_event_id, r.purchase_event_id)
+        for r in click_purchase_join(spark.read.parquet(src)).collect()
+    }
+    assert len(batch) > 0  # non-vacuous
+
+    stream_df = streaming_click_purchase_join(spark, src, schema=events.schema)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("cp_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.click_event_id, r.purchase_event_id)
+        for r in spark.sql("SELECT * FROM cp_join").collect()
+    }
+    assert got == batch

@@ -597,6 +597,22 @@ FROM events
 GROUP BY user_id
 """
 
+ORACLES["ev_click_purchase_join"] = """
+WITH c AS (
+  SELECT event_id AS click_event_id, user_id, epoch_us(ts) AS click_ts_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS purchase_ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_event_id, c.user_id, c.click_ts_us,
+       p.purchase_event_id, p.purchase_ts_us
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.purchase_ts_us BETWEEN c.click_ts_us AND c.click_ts_us + 3600000000
+"""
+
 ORACLES["ev_moving_avg"] = """
 WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us,
@@ -1334,6 +1350,16 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+"""
+
+# Salting is result-transparent: the oracle is the PLAIN join.
+ORACLES["an_salted_join"] = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
 """
 
 # Bloom pruning is correctness-neutral: the oracle is the PLAIN join.

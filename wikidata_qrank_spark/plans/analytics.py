@@ -186,6 +186,29 @@ def high_value_revenue_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_by_priority_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact join: lineitem ⋈ orders via salted_join (big-side
+    deterministic salt, small side replicated ×16, join on
+    (key, salt)), then revenue per order priority. Salting is
+    result-transparent — the oracle is the plain join, same contract as
+    the salted aggregation behind qviews."""
+    from ..operators.skewjoin import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        salted_join(li, o, on="o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("price_c").cast("long").alias("sum_base_c"),
+        )
+    )
+
+
 def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured demo: JSON props column → typed extraction
     (get_json_object, JVM-side) → per-type aggregates."""

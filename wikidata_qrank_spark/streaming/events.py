@@ -33,6 +33,95 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFram
     )
 
 
+def click_purchase_join(events: DataFrame, horizon_minutes: int = 60) -> DataFrame:
+    """Batch form of the stream-stream interval join: every (click,
+    purchase) pair of the same user with the purchase inside
+    [click_ts, click_ts + horizon] — the attribution join. Output keys
+    are event ids + epoch-µs timestamps (gate-stable)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        us.alias("click_ts_us"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        us.alias("purchase_ts_us"),
+    )
+    horizon_us = horizon_minutes * 60_000_000
+    return clicks.join(
+        purchases,
+        [
+            clicks.user_id == purchases.user_id,
+            purchases.purchase_ts_us >= clicks.click_ts_us,
+            purchases.purchase_ts_us <= clicks.click_ts_us + horizon_us,
+        ],
+    ).select(
+        "click_event_id",
+        clicks.user_id.alias("user_id"),
+        "click_ts_us",
+        "purchase_event_id",
+        "purchase_ts_us",
+    )
+
+
+def streaming_click_purchase_join(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema,
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+):
+    """The same attribution join as a STREAM-STREAM inner join: both
+    sides watermarked, the join condition carries the event-time range,
+    so Structured Streaming can bound each side's join state (clicks
+    older than watermark + horizon are evicted — at scale the state is
+    the moving window, never the full history). The parity test feeds
+    the identical rows through both forms."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parquet_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("purchase_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            click_user_id = purchase_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon_minutes} MINUTES
+            """
+        ),
+    )
+    return joined.select(
+        "click_event_id",
+        F.col("click_user_id").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        "purchase_event_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+
+
 def streaming_event_counts(
     spark: SparkSession,
     parquet_dir: str,
