@@ -303,7 +303,13 @@ def _td_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         _documents(spark, sf_dir)
         .select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.length("token") > 0)
+        # ASCII only: DuckDB levenshtein counts bytes, Spark codepoints
+        # (see edit_distance_pairs docstring) — keep the parity check
+        # on ground both engines agree on
+        .filter(
+            (F.length("token") > 0)
+            & (F.octet_length("token") == F.length("token"))
+        )
         .distinct()
     )
     return edit_distance_pairs(inject_misspellings(vocab))
@@ -537,6 +543,32 @@ def _an_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return high_value_revenue_bloom(spark, sf_dir)
 
 
+def _ev_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history view: each per-user event becomes a validity
+    interval closed by the next change (NULL-open for the current one)
+    — the dual of ev_latest_state, one shuffle on the upsert key."""
+    from wikidata_qrank_spark.operators.compaction import changelog_intervals
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_c"),
+    )
+    out = changelog_intervals(
+        e,
+        key_cols=["user_id"],
+        ts_col="ts_us",
+        tiebreak_col="event_id",
+        valid_from="valid_from_us",
+        valid_to="valid_to_us",
+    )
+    return out.select(
+        "event_id", "user_id", "valid_from_us", "valid_to_us", "value_c"
+    )
+
+
 def _an_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE / grouping-sets aggregation with grouping_id, NULL cells
     labeled; one partial-agg shuffle for all four grouping sets."""
@@ -732,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_click_purchase_join"] = _ev_click_purchase_join
     out["ev_moving_avg"] = _ev_moving_avg
     out["ev_latest_state"] = _ev_latest_state
+    out["ev_scd2"] = _ev_scd2
     out["an_sales_cube"] = _an_sales_cube
     out["an_bloom_semijoin"] = _an_bloom_semijoin
     out["an_salted_join"] = _an_salted_join

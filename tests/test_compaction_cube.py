@@ -107,3 +107,33 @@ def test_merge_aggregate_state_schema_mismatch_raises(spark):
     b = spark.createDataFrame([(1, 2)], "k long, m long")
     with _pytest.raises(ValueError):
         merge_aggregate_state(a, b, keys=["k"])
+
+
+def test_changelog_intervals_scd2(spark):
+    """Intervals chain per key (each valid_to = next valid_from), the
+    current version is NULL-open, and the NULL-open rows are exactly
+    compact_changelog's output."""
+    from wikidata_qrank_spark.operators.compaction import (
+        changelog_intervals,
+        compact_changelog,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100, 10, "a"), (2, 100, 30, "b"), (3, 100, 30, "c"), (4, 200, 5, "d")],
+        "change_id long, k long, ts long, payload string",
+    )
+    iv = changelog_intervals(
+        df, key_cols=["k"], ts_col="ts", tiebreak_col="change_id"
+    ).collect()
+    by_id = {r.change_id: r for r in iv}
+    assert by_id[1].valid_from == 10 and by_id[1].valid_to == 30
+    assert by_id[2].valid_from == 30 and by_id[2].valid_to == 30  # tie chain
+    assert by_id[3].valid_to is None and by_id[4].valid_to is None
+    current = {r.change_id for r in iv if r.valid_to is None}
+    compacted = {
+        r.change_id
+        for r in compact_changelog(
+            df, key_cols=["k"], ts_col="ts", tiebreak_col="change_id"
+        ).collect()
+    }
+    assert current == compacted

@@ -189,3 +189,29 @@ def test_edit_distance_pairs_matches_naive(spark):
     }
     assert got == want
     assert ("ab", "ba") not in got  # neighborhood FP, rejected by verify
+
+
+def test_jaccard_prefix_float_boundary_threshold(spark):
+    """t=0.07 on a 100-shingle doc: 100*0.07 evaluates to 7.0000…01 in
+    doubles; a naive ceil would over-shorten the prefix and drop pairs.
+    Equality with the naive join proves the epsilon guard."""
+    from wikidata_qrank_spark.operators.dedup import jaccard_prefix_pairs
+
+    base = [f"w{i:03d}" for i in range(102)]  # 100 3-gram shingles
+    # doc 2 shares a window of tokens with doc 1 → a handful of common
+    # shingles, jaccard right around 0.07
+    other = [f"x{i:03d}" for i in range(88)] + base[:14]
+    docs = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(other)), (3, " ".join(reversed(base)))],
+        "doc_id long, text string",
+    )
+    for t in (0.06, 0.07, 0.08):
+        naive = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_prefix_pairs(docs, n=3, threshold=t).collect()
+        }
+        assert pref == naive, (t, naive, pref)

@@ -23,17 +23,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash60
+
 DEFAULT_M_BITS = 1 << 20
 DEFAULT_K = 3
 
 
 def _probe(col: Column, i: int, m_bits: int) -> Column:
-    h = F.conv(
-        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"#{i}"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return h % m_bits
+    return hash60(F.concat(col.cast("string"), F.lit(f"#{i}"))) % m_bits
 
 
 def bloom_build(

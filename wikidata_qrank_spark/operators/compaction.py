@@ -39,3 +39,25 @@ def compact_changelog(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def changelog_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD-2 history view: every upsert becomes a validity interval
+    [``valid_from``, ``valid_to``) — closed by the key's NEXT change,
+    NULL-open for the current version. The dual of
+    :func:`compact_changelog` (current state = rows where ``valid_to``
+    is NULL); same single shuffle on the upsert key, so the full
+    history of one key never leaves one task."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return df.withColumn(valid_from, F.col(ts_col)).withColumn(
+        valid_to, F.lead(ts_col, 1).over(w)
+    )

@@ -126,6 +126,7 @@ def jaccard_verify_candidates(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact n-gram Jaccard computed ONLY for
     the given candidate pairs (the verification stage of the scale dedup
@@ -137,8 +138,12 @@ def jaccard_verify_candidates(
     Σ_candidates |shingles(doc_a)| — linear in candidates × doc length,
     independent of shingle popularity. Shuffle keys: doc_a, then
     (doc_b, shingle). This is the composition that holds at 100 TB.
+
+    Pass ``shingles`` when the caller already derived the (doc_id,
+    shingle) set (jaccard_prefix_pairs does) — identical subplans let
+    Spark's ReuseExchange kick in instead of re-shingling the corpus.
     """
-    sh = _shingles(documents, text_col, n)
+    sh = _shingles(documents, text_col, n) if shingles is None else shingles
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     # defensive distinct: a duplicated candidate pair (e.g. a union of
     # LSH and simhash candidate sources) would double-count every
@@ -201,7 +206,15 @@ def jaccard_prefix_pairs(
         F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("toks")
     )
     n_sh = F.size("toks")
-    prefix_len = (n_sh - F.ceil(n_sh * F.lit(float(threshold))) + 1).cast("int")
+    # required overlap α ≤ ⌈t·|d|⌉, computed with a downward epsilon:
+    # (a) double noise in t·|d| must never OVER-ceil (t=0.07, |d|=100
+    # evaluates to 7.000000000000001 → ceil 8 would shorten the prefix
+    # and break losslessness), and (b) the output filter keeps pairs
+    # with round6(jaccard) ≥ t, i.e. true jaccard as low as t − 5e-7,
+    # whose overlap bound is correspondingly lower. Erring low only
+    # LENGTHENS the prefix — always safe.
+    alpha = F.ceil(n_sh * (F.lit(float(threshold)) - F.lit(1e-6)))
+    prefix_len = (n_sh - alpha + 1).cast("int")
     prefix = per_doc.select(
         "doc_id",
         F.explode(F.slice("toks", 1, prefix_len)).alias("t"),
@@ -217,7 +230,7 @@ def jaccard_prefix_pairs(
         .distinct()
     )
     return jaccard_verify_candidates(
-        documents, cand, text_col=text_col, n=n, threshold=threshold
+        documents, cand, text_col=text_col, n=n, threshold=threshold, shingles=sh
     )
 
 
@@ -238,6 +251,13 @@ def edit_distance_pairs(
 
     Only max_dist=1 is supported (deeper distances need recursive
     deletion neighborhoods, depth = max_dist).
+
+    Cross-engine caveat: Spark's ``levenshtein`` counts CODEPOINTS while
+    DuckDB's counts BYTES, so they disagree on multi-byte tokens (中国 vs
+    中文 → 1 vs 3). The operator itself is codepoint-correct; the gate
+    query therefore restricts its vocabulary to ASCII (octet_length =
+    length, mirrored in the oracle) so the parity check compares like
+    with like.
     """
     if max_dist != 1:
         raise ValueError("edit_distance_pairs supports max_dist=1 only")
@@ -249,7 +269,9 @@ def edit_distance_pairs(
         ),
     )
     variants = F.array_distinct(F.concat(F.array(tok), deletions))
-    v = vocab.select(tok.alias("token")).distinct()
+    # empty tokens would hit sequence(1, 0)'s negative-step default and
+    # fabricate variants — exclude them (they're not vocabulary entries)
+    v = vocab.select(tok.alias("token")).filter(F.length("token") > 0).distinct()
     exploded = v.select("token", F.explode(variants).alias("variant"))
     a = exploded.alias("a")
     b = exploded.alias("b")

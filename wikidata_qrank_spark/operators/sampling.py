@@ -17,19 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash60
+
 
 def hash_sample(
     df: DataFrame, id_col: str, permille: int, salt: str = "sample"
 ) -> DataFrame:
     """Keep rows where md5(salt:id) mod 1000 < permille — a
     deterministic ~permille/1000 sample."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
     return df.filter(h % 1000 < permille)
 
 
@@ -50,22 +46,14 @@ def stratified_sample(
         [(k, v) for k, v in rates_permille.items()],
         f"{stratum_col} string, __permille int",
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}:"),
-                    F.col(stratum_col),
-                    F.lit(":"),
-                    F.col(id_col).cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = hash60(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.col(stratum_col),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
     return (
         df.join(F.broadcast(rates), stratum_col, "left")
         .filter(h % 1000 < F.coalesce(F.col("__permille"), F.lit(default_permille)))

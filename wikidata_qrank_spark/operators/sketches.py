@@ -24,9 +24,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash60
 from ..functions.precision import round6
 
-HASH_BITS = 60  # 15 md5 hex chars — fits a signed long
+HASH_BITS = 60  # 15 md5 hex chars — fits a signed long (hash60)
 
 
 def hll_distinct(
@@ -46,7 +47,7 @@ def hll_distinct(
     rem_bits = HASH_BITS - bucket_bits
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
-    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast("long")
+    h = hash60(F.col(value_col))
     bucket = F.shiftrightunsigned(h, rem_bits)
     rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
     # rho = leading zeros of the rem_bits-wide remainder + 1;

@@ -631,6 +631,15 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 
+ORACLES["ev_scd2"] = """
+SELECT event_id, user_id, epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       ) AS valid_to_us,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+FROM events
+"""
+
 ORACLES["ev_latest_state"] = """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
        CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
@@ -1125,7 +1134,7 @@ ORACLES["td_edit_pairs"] = """
 WITH base AS (
   SELECT DISTINCT tok AS token
   FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-  WHERE length(tok) > 0
+  WHERE length(tok) > 0 AND strlen(tok) = length(tok)
 ),
 vocab AS (
   SELECT token FROM base

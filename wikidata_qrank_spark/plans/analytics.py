@@ -175,7 +175,11 @@ def high_value_revenue_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     hv = o.filter(_cents(F.col("o_totalprice")) > 40_000_000).select("o_orderkey")
-    cand = bloom_prune(li, "l_orderkey", bloom_build(hv, "o_orderkey"))
+    # positions feed k broadcast probes — truncate the lineage once so
+    # the dim scan + explode + distinct don't re-execute per probe
+    # (localCheckpoint, not persist: nothing to leak after the query)
+    positions = bloom_build(hv, "o_orderkey").localCheckpoint(eager=True)
+    cand = bloom_prune(li, "l_orderkey", positions)
     return (
         cand.join(hv, cand.l_orderkey == hv.o_orderkey)
         .groupBy("l_returnflag")
