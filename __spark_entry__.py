@@ -662,6 +662,23 @@ def _ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts_us", "signup_event_id", "start_us")
 
 
+def _ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→click→purchase funnel via chained window
+    aggregates in ONE user-partition exchange; the oracle re-derives
+    each stage with per-stage joins — independent formulations."""
+    from wikidata_qrank_spark.plans.analytics import funnel_counts
+
+    return funnel_counts(spark, sf_dir)
+
+
+def _ev_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (first-activity month × activity
+    month)."""
+    from wikidata_qrank_spark.plans.analytics import cohort_retention
+
+    return cohort_retention(spark, sf_dir)
+
+
 def _ev_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution interval join (batch form of the stream-stream join
     in streaming/events.py — the streaming parity test feeds the same
@@ -762,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_rollup_cascade"] = _ev_rollup_cascade
     out["ev_incremental_agg"] = _ev_incremental_agg
     out["ev_click_purchase_join"] = _ev_click_purchase_join
+    out["ev_funnel"] = _ev_funnel
+    out["ev_cohorts"] = _ev_cohorts
     out["ev_moving_avg"] = _ev_moving_avg
     out["ev_latest_state"] = _ev_latest_state
     out["ev_scd2"] = _ev_scd2

@@ -137,3 +137,31 @@ def test_changelog_intervals_scd2(spark):
         ).collect()
     }
     assert current == compacted
+
+
+def test_funnel_ordering_matters(spark, monkeypatch, tmp_path):
+    """A purchase BEFORE the user's first qualifying click must not
+    count as stage 3; a user with no signup counts nowhere."""
+    from wikidata_qrank_spark.plans.analytics import funnel_counts
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, "signup", "2024-01-01 10:00:00"),
+        (2, 1, "click", "2024-01-01 11:00:00"),
+        (3, 1, "purchase", "2024-01-01 12:00:00"),
+        # user 2: purchase precedes the click that follows signup
+        (4, 2, "signup", "2024-01-02 10:00:00"),
+        (5, 2, "purchase", "2024-01-02 10:30:00"),
+        (6, 2, "click", "2024-01-02 11:00:00"),
+        # user 3: click/purchase but never signed up
+        (7, 3, "click", "2024-01-03 10:00:00"),
+        (8, 3, "purchase", "2024-01-03 11:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, ts) for i, u, t, ts in rows],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}"))
+    src = str(tmp_path / "funnel_events")
+    df.write.parquet(src + "/events.parquet")
+    got = {r.stage: r.n_users for r in funnel_counts(spark, src).collect()}
+    assert got == {"signup": 2, "click": 2, "purchase": 1}

@@ -597,6 +597,55 @@ FROM events
 GROUP BY user_id
 """
 
+ORACLES["ev_funnel"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+staged AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts_us END) AS s_us
+  FROM e GROUP BY user_id
+),
+clicked AS (
+  SELECT s.user_id, s.s_us,
+         min(CASE WHEN e.event_type = 'click' AND e.ts_us >= s.s_us
+                  THEN e.ts_us END) AS c_us
+  FROM staged s JOIN e ON e.user_id = s.user_id
+  GROUP BY s.user_id, s.s_us
+),
+purchased AS (
+  SELECT c.user_id, c.s_us, c.c_us,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts_us >= c.c_us
+                  THEN e.ts_us END) AS p_us
+  FROM clicked c JOIN e ON e.user_id = c.user_id
+  GROUP BY c.user_id, c.s_us, c.c_us
+),
+counts AS (
+  SELECT CAST(count(s_us) AS BIGINT) AS signup,
+         CAST(count(c_us) AS BIGINT) AS click,
+         CAST(count(p_us) AS BIGINT) AS purchase
+  FROM purchased
+)
+SELECT CAST(1 AS BIGINT) AS step, 'signup' AS stage, signup AS n_users FROM counts
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', click FROM counts
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', purchase FROM counts
+"""
+
+ORACLES["ev_cohorts"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(date_trunc('week', ts)) AS week_us FROM events
+),
+cohort AS (
+  SELECT user_id, min(week_us) AS cohort_week_us FROM e GROUP BY user_id
+)
+SELECT c.cohort_week_us, e.week_us AS activity_week_us,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+FROM e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
 ORACLES["ev_click_purchase_join"] = """
 WITH c AS (
   SELECT event_id AS click_event_id, user_id, epoch_us(ts) AS click_ts_us

@@ -213,6 +213,89 @@ def revenue_by_priority_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first click at-or-after signup → first
+    purchase at-or-after that click, per user; output = users reaching
+    each stage. All three stage timestamps come from chained window
+    aggregates over the SAME user partition — one exchange, no
+    re-joins against the event table (the naive formulation joins
+    events per stage). The tiny 3-row finish is a global agg."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "s_us",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(w),
+        )
+        .withColumn(
+            "c_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts_us") >= F.col("s_us")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") >= F.col("c_us")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("s_us").alias("s_us"),
+        F.first("c_us").alias("c_us"),
+        F.first("p_us").alias("p_us"),
+    )
+    counts = per_user.agg(
+        F.count(F.col("s_us")).cast("long").alias("signup"),
+        F.count(F.col("c_us")).cast("long").alias("click"),
+        F.count(F.col("p_us")).cast("long").alias("purchase"),
+    )
+    steps = F.array(
+        F.struct(F.lit(1).alias("step"), F.lit("signup").alias("stage"), F.col("signup").alias("n_users")),
+        F.struct(F.lit(2).alias("step"), F.lit("click").alias("stage"), F.col("click").alias("n_users")),
+        F.struct(F.lit(3).alias("step"), F.lit("purchase").alias("stage"), F.col("purchase").alias("n_users")),
+    )
+    return counts.select(F.explode(steps).alias("s")).select(
+        F.col("s.step").cast("long").alias("step"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_users").alias("n_users"),
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity WEEK,
+    counted per activity week (the synthetic events span one month, so
+    weekly buckets give a real matrix where monthly would be 1×1). The
+    user→cohort dim is derived once (per-user min) and joined back
+    broadcast; the matrix agg shuffles only (cohort, week) pairs."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("timestamp")).alias("week")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(F.broadcast(cohort), "user_id")
+        .select(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            F.unix_micros("week").alias("activity_week_us"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week_us", "activity_week_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )
+
+
 def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured demo: JSON props column → typed extraction
     (get_json_object, JVM-side) → per-type aggregates."""
