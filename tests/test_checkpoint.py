@@ -82,3 +82,43 @@ def test_stage_version_digest():
     assert a == CheckpointManager.stage_version("y", "x", params="p")
     assert a != CheckpointManager.stage_version("x", "y", params="q")
     assert a != CheckpointManager.stage_version("x", params="p")
+
+
+def test_zone_map_pruned_read(spark, tmp_path):
+    """Manifest zone maps + read_pruned: same rows as the full filtered
+    scan, strictly fewer files touched (the stage is range-partitioned
+    on the zone column, so zones are non-overlapping), empty range →
+    empty result, and a column without a zone map falls back to the
+    full scan."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.plans.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path / "ckpt"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    mgr.run_stage(
+        "tbl",
+        "v1",
+        lambda: df,
+        range_partition=["k"],
+        sort_within=["k"],
+        num_partitions=8,
+        zone_map_cols=["k"],
+    )
+    manifest_zm = mgr._read_manifest("tbl")["zone_maps"]["k"]
+    assert len(manifest_zm) >= 4  # multiple files with tracked zones
+
+    full = spark.read.parquet(str(tmp_path / "ckpt" / "tbl" / "data"))
+    want = {r.k for r in full.filter((F.col("k") >= 100) & (F.col("k") <= 300)).collect()}
+    pruned_df = mgr.read_pruned("tbl", "k", 100, 300)
+    assert {r.k for r in pruned_df.collect()} == want
+    touched = {r[0] for r in pruned_df.select(F.input_file_name()).distinct().collect()}
+    assert len(touched) < len(manifest_zm)  # files actually skipped
+
+    assert mgr.read_pruned("tbl", "k", 50_000, 60_000).count() == 0
+    # no zone map for v → fallback full scan, same answer
+    assert mgr.read_pruned("tbl", "v", 300, 900).count() == full.filter(
+        (F.col("v") >= 300) & (F.col("v") <= 900)
+    ).count()

@@ -89,6 +89,7 @@ class CheckpointManager:
         sort_within: list[str] | None = None,
         range_partition: list[str] | None = None,
         num_partitions: int | None = None,
+        zone_map_cols: list[str] | None = None,
     ) -> DataFrame:
         """Return the stage output, recomputing only when stale.
 
@@ -132,6 +133,11 @@ class CheckpointManager:
 
         out = self.spark.read.parquet(data_dir)
         rows = out.count()
+        zone_maps = (
+            self._collect_zone_maps(data_dir, zone_map_cols)
+            if zone_map_cols
+            else None
+        )
         wall = time.perf_counter() - t0
         os.makedirs(self._stage_dir(name), exist_ok=True)
         with open(self._manifest_path(name), "w") as f:
@@ -144,6 +150,7 @@ class CheckpointManager:
                     "wall_sec": round(wall, 3),
                     "partitions": out.rdd.getNumPartitions(),
                     "created_unix": time.time(),
+                    **({"zone_maps": zone_maps} if zone_maps else {}),
                 },
                 f,
                 indent=2,
@@ -158,6 +165,48 @@ class CheckpointManager:
             path=data_dir,
         )
         return out
+
+    def _collect_zone_maps(self, data_dir: str, cols: list[str]) -> dict:
+        """Per-file min/max for the zone-map columns — Iceberg's
+        manifest column stats, emulated. One scan at write time; a real
+        writer gets these free from the parquet footers. For stages
+        written with ``range_partition`` + ``sort_within`` the zones
+        are non-overlapping, so point/range reads prune to O(1) files."""
+        df = self.spark.read.parquet(data_dir).withColumn(
+            "__file", F.input_file_name()
+        )
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        stats = df.groupBy("__file").agg(*aggs).collect()
+        out: dict[str, dict[str, list]] = {c: {} for c in cols}
+        for r in stats:
+            fname = r["__file"].replace("file://", "")
+            for c in cols:
+                out[c][fname] = [r[f"__mn_{c}"], r[f"__mx_{c}"]]
+        return out
+
+    def read_pruned(self, name: str, col: str, lo, hi) -> DataFrame:
+        """Read a checkpointed stage restricted to ``col ∈ [lo, hi]``,
+        skipping every data file whose zone [min, max] misses the
+        range — manifest-level data skipping on top of parquet's own
+        row-group pruning. Falls back to a full filtered scan when the
+        stage has no zone map for ``col``."""
+        data_dir = os.path.join(self._stage_dir(name), "data")
+        manifest = self._read_manifest(name) or {}
+        zm = (manifest.get("zone_maps") or {}).get(col)
+        pred = (F.col(col) >= lo) & (F.col(col) <= hi)
+        if zm is None:
+            return self.spark.read.parquet(data_dir).filter(pred)
+        files = [
+            f
+            for f, (mn, mx) in zm.items()
+            if mn is not None and mx is not None and not (mx < lo or mn > hi)
+        ]
+        if not files:
+            return self.spark.read.parquet(data_dir).filter(pred).limit(0)
+        return self.spark.read.parquet(*files).filter(pred)
 
     def metrics(self) -> dict:
         return {
@@ -207,6 +256,7 @@ def build_checkpointed(
         lambda: text_mentions(sp, cdict),
         range_partition=["doc_id"],
         sort_within=["doc_id", "offset"],
+        zone_map_cols=["doc_id"],
     )
     v_mm = CheckpointManager.stage_version(v_spans, v_dict, params="media_mentions")
     mm = mgr.run_stage("media_mentions", v_mm, lambda: media_mentions(sp, cdict))
