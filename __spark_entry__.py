@@ -290,6 +290,15 @@ def _td_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters_scaled(docs, threshold=0.5, hash_family="md5")
 
 
+def _td_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality filter (CCNet/KenLM pattern): corpus-trained
+    add-one model, per-doc mean log-prob; integer-microunit term sums
+    make the float result aggregation-order-proof."""
+    from wikidata_qrank_spark.operators.textstats import lm_quality
+
+    return lm_quality(_documents(spark, sf_dir))
+
+
 def _td_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary near-spellings: SymSpell deletion-neighborhood join
     (work ∝ Σ token length) verified by exact levenshtein; oracle is
@@ -759,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_dup_clusters_lsh"] = _td_dup_clusters_lsh
     out["td_curation"] = _td_curation
     out["td_winnow_fps"] = _td_winnow_fps
+    out["td_lm_score"] = _td_lm_score
     out["td_edit_pairs"] = _td_edit_pairs
     out["td_sample"] = _td_sample
     out["td_hll_tokens"] = _td_hll_tokens

@@ -169,3 +169,35 @@ def test_winnowed_fingerprints_guarantee(spark):
     for ch in "abc":
         want = (want * ROLL_BASE + ord(ch)) % ROLL_MOD
     assert got == want
+
+
+def test_lm_quality_hand_model(spark):
+    """Tiny corpus where the model is computable by hand: vocab
+    {a,b,c}, doc 1 = 'a b a b', doc 2 = 'a c'. V=3;
+    c1: a=3,b=2,c=1; c2: (a,b)=2,(b,a)=1,(a,c)=1."""
+    import math
+
+    from wikidata_qrank_spark.operators.textstats import lm_quality
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "z")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp) for r in lm_quality(docs).collect()}
+    V = 4  # a, b, c, z
+
+    def term(c2, c1):
+        return math.floor(math.log((c2 + 1) / (c1 + V)) * 1e6 + 0.5)
+
+    # doc 1 bigrams: (a,b), (b,a), (a,b)
+    t_ab = term(2, 3)
+    t_ba = term(1, 2)
+    exp1 = math.floor((t_ab + t_ba + t_ab) / (1e6 * 3) * 1e6 + 0.5) / 1e6
+    # doc 2: (a,c)
+    t_ac = term(1, 3)
+    exp2 = math.floor(t_ac / 1e6 * 1e6 + 0.5) / 1e6
+    assert got[1] == (3, exp1)
+    assert got[2] == (1, exp2)
+    assert 3 not in got  # single-token doc: no bigrams
+
+    # repeated-phrase doc scores HIGHER than a doc of rare transitions
+    assert got[1][1] > got[2][1]

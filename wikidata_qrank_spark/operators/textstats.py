@@ -305,3 +305,63 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= k)
         .select("doc_id", "term", "tf", "score", "term_rank")
     )
+
+
+def lm_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, avg_logp) — language-model quality score: a
+    bigram model with add-one smoothing trained on the corpus itself,
+    each document scored by its mean bigram log-probability. This is
+    the CCNet/KenLM-style LM filter of a training-data pipeline (docs
+    whose token transitions are atypical for the corpus score low),
+    self-contained so both engines can derive the identical model.
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). Per-instance log terms
+    are quantized to integer micro-units BEFORE summation, so the
+    per-doc sum is exact integer math — aggregation-order-proof, the
+    same trick as the HLL register fold. Plan shape: bigram instances
+    join the count dims (counts ≪ instances; the w1 dim broadcast-able
+    at vocab scale), one groupBy(doc_id) finish; document text never
+    shuffles.
+
+    Documents with fewer than two tokens have no bigrams and are
+    absent from the output."""
+    from ..functions.precision import round6
+
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bigrams = documents.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    unigrams = documents.select(F.explode(toks).alias("w1"))
+    c1 = unigrams.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab_size = unigrams.agg(
+        F.countDistinct("w1").cast("long").alias("__v")
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    term_u = F.floor(
+        F.log((F.col("c2") + 1) / (F.col("c1") + F.col("__v"))) * 1000000.0
+        + 0.5
+    ).cast("long")
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select("doc_id", term_u.alias("term_u"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        round6(
+            F.sum("term_u") / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("avg_logp"),
+    )

@@ -1175,6 +1175,44 @@ SELECT lang, CAST(4096 AS BIGINT) AS n_buckets, n_nonzero,
 FROM est
 """
 
+# Bigram-LM quality: both engines train the same add-one-smoothed model
+# on the corpus; per-term log-probs quantized to integer micro-units
+# before summing (aggregation-order-proof).
+ORACLES["td_lm_score"] = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+bigrams AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM docs WHERE len(l) >= 2)
+),
+c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT doc_id, unnest(l) AS w1 FROM docs) GROUP BY w1
+),
+v AS (
+  SELECT CAST(count(DISTINCT w1) AS BIGINT) AS vs
+  FROM (SELECT unnest(l) AS w1 FROM docs)
+),
+c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bigrams GROUP BY w1, w2
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.vs))
+                    * 1000000.0 + 0.5) AS BIGINT) AS term_u
+  FROM bigrams b
+  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+  JOIN c1 ON b.w1 = c1.w1
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(CAST(sum(term_u) AS DOUBLE) / (1000000.0 * count(*))
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
 # Edit-distance pairs: the ENGINE joins SymSpell deletion neighborhoods;
 # the oracle does the naive quadratic scan with native levenshtein().
 # Vocabulary = corpus tokens + injected last-char-dropped misspellings
