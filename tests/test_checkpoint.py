@@ -122,3 +122,45 @@ def test_zone_map_pruned_read(spark, tmp_path):
     assert mgr.read_pruned("tbl", "v", 300, 900).count() == full.filter(
         (F.col("v") >= 300) & (F.col("v") <= 900)
     ).count()
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Publishing v2/v3 retires the prior snapshot instead of deleting
+    it: read_snapshot returns each historical dataset exactly, the
+    snapshot log lists them oldest-first, and keep_snapshots bounds
+    history (the oldest dir is GC'd on the 4th publish)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.plans.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path / "tt"), keep_snapshots=2)
+    ids = {}
+    for v, n in [("v1", 10), ("v2", 20), ("v3", 30)]:
+        mgr.run_stage(
+            "tbl", v, lambda n=n: spark.range(n).select(F.col("id").alias("k"))
+        )
+        ids[v] = mgr.results["tbl"].snapshot_id
+
+    log = mgr.snapshots("tbl")
+    assert [s["snapshot_id"] for s in log] == [ids["v1"], ids["v2"], ids["v3"]]
+    assert mgr.read_snapshot("tbl", ids["v1"]).count() == 10
+    assert mgr.read_snapshot("tbl", ids["v2"]).count() == 20
+    assert mgr.read_snapshot("tbl", ids["v3"]).count() == 30
+
+    mgr.run_stage("tbl", "v4", lambda: spark.range(40).select(F.col("id").alias("k")))
+    assert mgr.read_snapshot("tbl", ids["v3"]).count() == 30  # still kept
+    with _pytest.raises(FileNotFoundError):
+        mgr.read_snapshot("tbl", ids["v1"])  # GC'd past keep_snapshots
+
+
+def test_keep_snapshots_zero_overwrites(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.plans.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path / "ow"), keep_snapshots=0)
+    mgr.run_stage("tbl", "v1", lambda: spark.range(5).select(F.col("id").alias("k")))
+    mgr.run_stage("tbl", "v2", lambda: spark.range(6).select(F.col("id").alias("k")))
+    assert mgr.snapshots("tbl")[-1]["rows"] == 6
+    assert len(mgr.snapshots("tbl")) == 1

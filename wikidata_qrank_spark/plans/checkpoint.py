@@ -57,6 +57,9 @@ class CheckpointManager:
     spark: SparkSession
     base_dir: str
     results: dict[str, StageResult] = field(default_factory=dict)
+    # snapshots kept per stage besides the current one (0 = overwrite
+    # in place, the pre-time-travel behavior)
+    keep_snapshots: int = 2
 
     def _stage_dir(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
@@ -126,9 +129,35 @@ class CheckpointManager:
 
         staging = os.path.join(self._stage_dir(name), f"_staging_{snapshot_id}")
         df.write.mode("overwrite").parquet(staging)
-        # atomic publish: rename staging → data (reference O-12)
+        # atomic publish: rename staging → data (reference O-12). The
+        # displaced snapshot is retired into snapshots/<id> (time
+        # travel, Iceberg's snapshot log) instead of deleted; the GC
+        # below bounds history to keep_snapshots.
+        history = (manifest or {}).get("history", [])
         if os.path.isdir(data_dir):
-            shutil.rmtree(data_dir)
+            old = manifest or {}
+            old_id = old.get("snapshot_id")
+            if self.keep_snapshots > 0 and old_id:
+                retired = os.path.join(self._stage_dir(name), "snapshots", old_id)
+                os.makedirs(os.path.dirname(retired), exist_ok=True)
+                os.replace(data_dir, retired)
+                history = history + [
+                    {
+                        "snapshot_id": old_id,
+                        "version": old.get("version"),
+                        "rows": old.get("rows"),
+                        "created_unix": old.get("created_unix"),
+                    }
+                ]
+            else:
+                shutil.rmtree(data_dir)
+        expired = history[: -self.keep_snapshots] if self.keep_snapshots else history
+        for e in expired:
+            shutil.rmtree(
+                os.path.join(self._stage_dir(name), "snapshots", e["snapshot_id"]),
+                ignore_errors=True,
+            )
+        history = history[-self.keep_snapshots :] if self.keep_snapshots else []
         os.replace(staging, data_dir)
 
         out = self.spark.read.parquet(data_dir)
@@ -150,6 +179,7 @@ class CheckpointManager:
                     "wall_sec": round(wall, 3),
                     "partitions": out.rdd.getNumPartitions(),
                     "created_unix": time.time(),
+                    "history": history,
                     **({"zone_maps": zone_maps} if zone_maps else {}),
                 },
                 f,
@@ -186,6 +216,37 @@ class CheckpointManager:
             for c in cols:
                 out[c][fname] = [r[f"__mn_{c}"], r[f"__mx_{c}"]]
         return out
+
+    def snapshots(self, name: str) -> list[dict]:
+        """Snapshot log for a stage: retired snapshots (oldest first)
+        plus the current one, each with id/version/rows/timestamp."""
+        manifest = self._read_manifest(name)
+        if manifest is None:
+            return []
+        current = {
+            "snapshot_id": manifest["snapshot_id"],
+            "version": manifest["version"],
+            "rows": manifest["rows"],
+            "created_unix": manifest["created_unix"],
+        }
+        return list(manifest.get("history", [])) + [current]
+
+    def read_snapshot(self, name: str, snapshot_id: str) -> DataFrame:
+        """Time travel: read a stage AS OF a snapshot — the current one
+        or any retired snapshot still within keep_snapshots."""
+        manifest = self._read_manifest(name) or {}
+        if manifest.get("snapshot_id") == snapshot_id:
+            return self.spark.read.parquet(
+                os.path.join(self._stage_dir(name), "data")
+            )
+        retired = os.path.join(self._stage_dir(name), "snapshots", snapshot_id)
+        if not os.path.isdir(retired):
+            known = [s["snapshot_id"] for s in self.snapshots(name)]
+            raise FileNotFoundError(
+                f"stage {name!r} has no snapshot {snapshot_id!r} "
+                f"(known: {known})"
+            )
+        return self.spark.read.parquet(retired)
 
     def read_pruned(self, name: str, col: str, lo, hi) -> DataFrame:
         """Read a checkpointed stage restricted to ``col ∈ [lo, hi]``,
