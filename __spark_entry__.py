@@ -534,6 +534,22 @@ def _ev_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_user_state(spark, sf_dir)
 
 
+def _an_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value domain (skips Spark's extra
+    distinct-values job); oracle is the portable CASE-sum form."""
+    from wikidata_qrank_spark.plans.analytics import orders_pivot
+
+    return orders_pivot(spark, sf_dir)
+
+
+def _an_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti/except-style customer segmentation via left_semi and
+    left_anti joins; oracle uses EXISTS / NOT EXISTS / NOT IN."""
+    from wikidata_qrank_spark.plans.analytics import customer_set_ops
+
+    return customer_set_ops(spark, sf_dir)
+
+
 def _an_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (big-side row-hash salt, small side
     replicated into every bucket); oracle is the plain join — salting
@@ -797,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["an_sales_cube"] = _an_sales_cube
     out["an_bloom_semijoin"] = _an_bloom_semijoin
     out["an_salted_join"] = _an_salted_join
+    out["an_pivot"] = _an_pivot
+    out["an_set_ops"] = _an_set_ops
     out["ev_sessions"] = _ev_sessions
     out["ev_props_stats"] = _ev_props_stats
     out["ev_quantiles"] = _ev_quantiles

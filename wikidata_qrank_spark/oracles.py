@@ -1469,6 +1469,37 @@ WHERE floor(o.o_totalprice * 100 + 0.5) > 40000000
 GROUP BY l.l_returnflag
 """
 
+ORACLES["an_pivot"] = """
+SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS order_year,
+       CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS order_month,
+       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_filled,
+       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_partial
+FROM orders
+GROUP BY 1, 2
+"""
+
+ORACLES["an_set_ops"] = """
+WITH ordered AS (
+  SELECT c_custkey FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+),
+never AS (
+  SELECT c_custkey FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+),
+high AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE floor(o_totalprice * 100 + 0.5) > 30000000
+)
+SELECT c_custkey, 'ordered' AS segment FROM ordered
+UNION ALL
+SELECT c_custkey, 'never_ordered' FROM never
+UNION ALL
+SELECT c_custkey, 'low_value_only' FROM ordered
+WHERE c_custkey NOT IN (SELECT c_custkey FROM high)
+"""
+
 ORACLES["an_top_orders"] = """
 SELECT o_custkey, o_orderkey,
        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,

@@ -296,6 +296,58 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot demo: order counts per month pivoted into one column per
+    order status. The status domain is passed EXPLICITLY to pivot() —
+    at scale that skips the extra distinct-values job Spark otherwise
+    runs, and pins the output schema. Oracle is the portable CASE-sum
+    formulation."""
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    monthly = o.select(
+        F.year(ts).cast("int").alias("order_year"),
+        F.month(ts).cast("int").alias("order_month"),
+        "o_orderstatus",
+    )
+    return (
+        monthly.groupBy("order_year", "order_month")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            "order_month",
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_filled"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_partial"),
+        )
+    )
+
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator demo: per customer, whether they have any order
+    (semi), none (anti), and only low-value orders (except-style:
+    ordered minus high-value). Expressed with left_semi / left_anti
+    joins — the shuffle-light forms (no payload columns move, dedup
+    for free); the oracle uses EXISTS / NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    ordered = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    )
+    never = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    high = o.filter(_cents(F.col("o_totalprice")) > 30_000_000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    low_only = ordered.join(high, "c_custkey", "left_anti")
+    return (
+        ordered.withColumn("segment", F.lit("ordered"))
+        .unionByName(never.withColumn("segment", F.lit("never_ordered")))
+        .unionByName(low_only.withColumn("segment", F.lit("low_value_only")))
+    )
+
+
 def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured demo: JSON props column → typed extraction
     (get_json_object, JVM-side) → per-type aggregates."""
