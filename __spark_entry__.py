@@ -180,6 +180,43 @@ def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(_kg_edges(spark, sf_dir))
 
 
+def _kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from the minimum graph node (≤6 hops) —
+    iterative frontier expansion vs a bounded recursive-CTE oracle."""
+    from wikidata_qrank_spark.operators.graph import bfs_distances
+
+    edges = _kg_edges(spark, sf_dir)
+    source = edges.agg(
+        F.min(F.least("src_id", "dst_id")).alias("s")
+    ).first().s
+    return bfs_distances(edges, source=source, max_hops=6)
+
+
+def _qa_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint report (dbt-test/Deequ pattern): range,
+    positivity, referential-integrity, and derived-column rules; the
+    value<=400 rule has real violations so the report is non-vacuous."""
+    from wikidata_qrank_spark.operators.quality import constraint_summary
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    docs = load_table(spark, sf_dir, "documents")
+    li_fk = li.join(o, li.l_orderkey == o.o_orderkey, "left")
+    return constraint_summary(
+        {
+            "event_value_le_400": (ev, F.col("value") <= 400),
+            "event_value_positive": (ev, F.col("value") > 0),
+            "lineitem_order_fk": (li_fk, F.col("o_orderkey").isNotNull()),
+            "document_nchars_consistent": (
+                docs,
+                F.length("text") == F.col("n_chars"),
+            ),
+        }
+    )
+
+
 def _kg_item_signals_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """item_signals extended with the PageRank column the reference
     reserves a slot for (itemsignals.go:40): left join of the per-item
@@ -772,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_degrees"] = _kg_degrees
     out["kg_pagerank"] = _kg_pagerank
     out["kg_triangles"] = _kg_triangles
+    out["kg_bfs"] = _kg_bfs
+    out["qa_checks"] = _qa_checks
     out["kg_item_signals_pr"] = _kg_item_signals_pr
     out["td_fingerprints"] = _td_fingerprints
     out["td_exact_dedup"] = _td_exact_dedup

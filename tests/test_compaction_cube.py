@@ -165,3 +165,19 @@ def test_funnel_ordering_matters(spark, monkeypatch, tmp_path):
     df.write.parquet(src + "/events.parquet")
     got = {r.stage: r.n_users for r in funnel_counts(spark, src).collect()}
     assert got == {"signup": 2, "click": 2, "purchase": 1}
+
+
+def test_constraint_summary_counts(spark):
+    from wikidata_qrank_spark.operators.quality import constraint_summary
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, v double"
+    )
+    out = {
+        r.rule: (r.n_checked, r.n_violations)
+        for r in constraint_summary(
+            {"v_positive": (df, F.col("v") > 0), "id_nonnull": (df, F.col("id").isNotNull())}
+        ).collect()
+    }
+    # NULL v counts as a violation (unknown is not a pass)
+    assert out == {"v_positive": (3, 2), "id_nonnull": (3, 0)}

@@ -57,3 +57,18 @@ def test_triangles_none(spark):
 
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src_id long, dst_id long")
     assert triangles(edges).count() == 0
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Path 1-2-3-4 with a shortcut 1-4 and an unreachable node 9:
+    shortest hops win, unreachable nodes absent, max_hops bounds."""
+    from wikidata_qrank_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (4, 5), (9, 10)],
+        "src_id long, dst_id long",
+    )
+    got = {r.node: r.hops for r in bfs_distances(edges, source=1).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    capped = {r.node: r.hops for r in bfs_distances(edges, source=1, max_hops=1).collect()}
+    assert capped == {1: 0, 2: 1, 4: 1}

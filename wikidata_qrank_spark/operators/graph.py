@@ -116,6 +116,50 @@ def triangles(
     )
 
 
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 6,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(node, hops) — undirected BFS hop distance from ``source``,
+    bounded by ``max_hops``. Frontier expansion is one join + one
+    min-agg per hop (shuffles keyed on node), with the distance table
+    ``localCheckpoint``-ed per round (lineage truncation, same rule as
+    pagerank/connected components). Early exit when a frontier is
+    empty. The oracle walks the same graph with a bounded recursive
+    CTE — an independent formulation."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col(src) != F.col(dst)
+    )
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "node long, hops long").localCheckpoint(
+        eager=True
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        neighbors = (
+            frontier.join(und, frontier.node == und.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new_nodes = neighbors.join(dist, "node", "left_anti").withColumn(
+            "hops", F.lit(hop).cast("long")
+        )
+        new_nodes = new_nodes.localCheckpoint(eager=True)
+        if new_nodes.rdd.isEmpty():
+            break
+        dist = dist.unionByName(new_nodes).localCheckpoint(eager=True)
+        frontier = new_nodes
+    return dist
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,

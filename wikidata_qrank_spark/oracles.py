@@ -245,6 +245,48 @@ GROUP BY node
 )
 
 
+# BFS hop distances from the minimum node — bounded recursive CTE (the
+# UNION dedups (node, hops) pairs so cycles terminate), min per node.
+ORACLES["kg_bfs"] = kg_sql(
+    _EDGES_CTE
+    + """
+, und2 AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v, u FROM edges WHERE u <> v
+),
+src AS (SELECT min(u) AS s FROM und2),
+walk AS (
+  SELECT s AS node, CAST(0 AS BIGINT) AS hops FROM src
+  UNION
+  SELECT und2.v, w.hops + 1
+  FROM walk w JOIN und2 ON und2.u = w.node
+  WHERE w.hops < 6
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+).replace("WITH tok AS", "WITH RECURSIVE tok AS", 1)
+
+ORACLES["qa_checks"] = """
+SELECT 'event_value_le_400' AS rule,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(CASE WHEN NOT coalesce(value <= 400, FALSE) THEN 1 END) AS BIGINT) AS n_violations
+FROM events
+UNION ALL
+SELECT 'event_value_positive', CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN NOT coalesce(value > 0, FALSE) THEN 1 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'lineitem_order_fk', CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN NOT coalesce(o.o_orderkey IS NOT NULL, FALSE) THEN 1 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'document_nchars_consistent', CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN NOT coalesce(length(text) = n_chars, FALSE) THEN 1 END) AS BIGINT)
+FROM documents
+"""
+
+
 def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     """Unrolled PageRank recurrence — per-iteration round6 makes the
     float fixpoint identical to the engine's iterative joins."""
