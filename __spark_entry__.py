@@ -327,6 +327,32 @@ def _td_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters_scaled(docs, threshold=0.5, hash_family="md5")
 
 
+def _td_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: the composed corpus-prep pipeline — scale near-dup
+    removal → curation → stratified sampling by detected language →
+    token accounting — verified end to end against one nested oracle
+    (stage-boundary bugs can't hide between individually-green
+    operators)."""
+    from wikidata_qrank_spark.plans.training_data import corpus_prep
+
+    return corpus_prep(spark, sf_dir)
+
+
+def _td_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: distinct-token union/intersection/
+    Jaccard estimates between every language pair — the sketch family
+    HLL can't provide (no intersections); oracle rebuilds the same
+    sketches."""
+    from wikidata_qrank_spark.operators.sketches import kmv_overlap_pairs
+
+    toks = (
+        _documents(spark, sf_dir)
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    return kmv_overlap_pairs(toks, "token", "lang", k=8)
+
+
 def _td_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality filter (CCNet/KenLM pattern): corpus-trained
     add-one model, per-doc mean log-prob; integer-microunit term sums
@@ -724,6 +750,14 @@ def _ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts_us", "signup_event_id", "start_us")
 
 
+def _ev_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences (lag +
+    count + per-source probability)."""
+    from wikidata_qrank_spark.plans.analytics import event_transitions
+
+    return event_transitions(spark, sf_dir)
+
+
 def _ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered signup→click→purchase funnel via chained window
     aggregates in ONE user-partition exchange; the oracle re-derives
@@ -823,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_dup_clusters_lsh"] = _td_dup_clusters_lsh
     out["td_curation"] = _td_curation
     out["td_winnow_fps"] = _td_winnow_fps
+    out["td_pipeline"] = _td_pipeline
+    out["td_kmv_overlap"] = _td_kmv_overlap
     out["td_lm_score"] = _td_lm_score
     out["td_edit_pairs"] = _td_edit_pairs
     out["td_sample"] = _td_sample
@@ -844,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_rollup_cascade"] = _ev_rollup_cascade
     out["ev_incremental_agg"] = _ev_incremental_agg
     out["ev_click_purchase_join"] = _ev_click_purchase_join
+    out["ev_transitions"] = _ev_transitions
     out["ev_funnel"] = _ev_funnel
     out["ev_cohorts"] = _ev_cohorts
     out["ev_moving_avg"] = _ev_moving_avg

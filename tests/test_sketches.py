@@ -77,3 +77,30 @@ def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
     for lang in totals:
         if lang not in rates:
             assert by_lang.get(lang, 0) < 0.5 * totals[lang]
+
+
+def test_kmv_overlap_accuracy(spark):
+    """Two groups with known 50% overlap (1000 shared of 2000 each):
+    k=256 sketches estimate union/intersection within ~20%."""
+    from wikidata_qrank_spark.operators.sketches import kmv_overlap_pairs
+
+    a = spark.range(2000).select(F.lit("A").alias("g"), F.concat(F.lit("v"), "id").alias("v"))
+    b = spark.range(1000, 3000).select(F.lit("B").alias("g"), F.concat(F.lit("v"), "id").alias("v"))
+    r = kmv_overlap_pairs(a.unionByName(b), "v", "g", k=256).first()
+    assert abs(r.union_est - 3000) < 600
+    assert abs(r.inter_est - 1000) < 400
+
+
+def test_kmv_exact_mode_small_sets(spark):
+    """Fewer distinct values than k: the union estimate is the exact
+    merged count and jaccard is exact."""
+    from wikidata_qrank_spark.operators.sketches import kmv_overlap_pairs
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "y"), ("A", "z"), ("B", "y"), ("B", "z"), ("B", "w")],
+        "g string, v string",
+    )
+    r = kmv_overlap_pairs(df, "v", "g", k=8).first()
+    assert r.union_est == 4.0
+    assert r.jaccard_est == 0.5
+    assert r.inter_est == 2.0

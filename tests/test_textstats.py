@@ -201,3 +201,26 @@ def test_lm_quality_hand_model(spark):
 
     # repeated-phrase doc scores HIGHER than a doc of rare transitions
     assert got[1][1] > got[2][1]
+
+
+def test_corpus_prep_composition_invariants(spark):
+    """Capstone pipeline: no near-dup victim survives, every survivor
+    passes curation thresholds, and the injected copies that DO appear
+    are cluster representatives."""
+    from wikidata_qrank_spark.operators.clusters import dup_clusters_scaled
+    from wikidata_qrank_spark.operators.dedup import inject_near_dups
+    from wikidata_qrank_spark.plans.training_data import corpus_prep
+
+    sf = "/root/testdata/sf0.001"
+    out = corpus_prep(spark, sf).collect()
+    assert len(out) > 0
+    assert all(r.quality >= 0.5 and r.predicted_lang != "und" for r in out)
+    assert all(r.ws_tokens > 0 for r in out)
+
+    corpus = inject_near_dups(spark.read.parquet(f"{sf}/documents.parquet"))
+    comp = dup_clusters_scaled(corpus, threshold=0.5, hash_family="md5")
+    victims = {
+        r.doc_id for r in comp.filter("doc_id != component").collect()
+    }
+    kept = {r.doc_id for r in out}
+    assert kept.isdisjoint(victims)

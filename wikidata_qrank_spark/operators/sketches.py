@@ -93,3 +93,61 @@ def hll_distinct(
 def hll_error_bound(bucket_bits: int) -> float:
     """Theoretical standard error of the estimator (1.04/√m)."""
     return 1.04 / math.sqrt(1 << bucket_bits)
+
+
+def kmv_overlap_pairs(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """(group_a, group_b, union_est, jaccard_est, inter_est) — KMV
+    (k-minimum-values) sketch set algebra between every pair of groups:
+    distinct-cardinality of the union, Jaccard similarity, and
+    intersection size, all estimated from k-element sketches.
+
+    The sketch of a set is its k smallest hash60 values; |S| ≈
+    (k−1)·2^60 / kth_min, the union sketch is the k smallest of the
+    merged sketches, and J ≈ |{x ∈ sketch(A∪B): x ∈ sketch(A) ∧ x ∈
+    sketch(B)}| / k — the classic KMV estimators, all on exact
+    integers until the final divisions (round6'd), so the DuckDB
+    oracle reproduces them bit-for-bit. Complements the HLL sketch
+    (which cannot intersect): at 100 TB, per-shard KMV sketches merge
+    associatively and pairwise overlap costs O(groups²·k), never a
+    re-scan.
+
+    Plan: distinct (group, h) → per-group top-k via one window on the
+    group partition (state k rows per group) → per-group array →
+    pairwise self-join on the tiny sketch table.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.precision import round6
+
+    h = hash60(F.col(value_col))
+    hashed = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    sketches = topk.groupBy("g").agg(
+        F.sort_array(F.collect_list("h")).alias("sk")
+    )
+    a = sketches.select(F.col("g").alias("group_a"), F.col("sk").alias("sk_a"))
+    b = sketches.select(F.col("g").alias("group_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    merged = F.slice(F.array_sort(F.array_union("sk_a", "sk_b")), 1, k)
+    kth = F.element_at(merged, k)
+    full = float(1 << HASH_BITS)
+    union_est = F.when(
+        F.size(merged) < k, F.size(merged).cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(full) / kth)
+    shared = F.size(F.array_intersect(F.array_intersect(merged, "sk_a"), "sk_b"))
+    j_est = shared / F.least(F.size(merged), F.lit(k))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        round6(union_est).alias("union_est"),
+        round6(j_est).alias("jaccard_est"),
+        round6(j_est * union_est).alias("inter_est"),
+    )

@@ -639,6 +639,25 @@ FROM events
 GROUP BY user_id
 """
 
+ORACLES["ev_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)
+             * 1000000.0 + 0.5) / 1000000.0 AS p
+FROM pairs
+"""
+
 ORACLES["ev_funnel"] = """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
@@ -1217,6 +1236,42 @@ SELECT lang, CAST(4096 AS BIGINT) AS n_buckets, n_nonzero,
 FROM est
 """
 
+# KMV sketch set algebra: both engines build identical k-minimum-value
+# sketches from hash60 and apply the same estimators; 1152921504606846976
+# = 2^60.
+ORACLES["td_kmv_overlap"] = """
+WITH tok AS (
+  SELECT lang AS g, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE length(token) > 0
+),
+dedup AS (SELECT DISTINCT g, h FROM tok),
+topk AS (
+  SELECT g, h FROM dedup
+  QUALIFY row_number() OVER (PARTITION BY g ORDER BY h) <= 8
+),
+sk AS (SELECT g, list_sort(list(h)) AS sk FROM topk GROUP BY g),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:8] AS merged,
+         a.sk AS sk_a, b.sk AS sk_b
+  FROM sk a JOIN sk b ON a.g < b.g
+),
+est AS (
+  SELECT group_a, group_b,
+         CASE WHEN len(merged) < 8 THEN CAST(len(merged) AS DOUBLE)
+              ELSE 7.0 * 1152921504606846976.0 / merged[8] END AS union_est,
+         CAST(len(list_intersect(list_intersect(merged, sk_a), sk_b)) AS DOUBLE)
+           / least(len(merged), 8) AS j_est
+  FROM pairs
+)
+SELECT group_a, group_b,
+       floor(union_est * 1000000.0 + 0.5) / 1000000.0 AS union_est,
+       floor(j_est * 1000000.0 + 0.5) / 1000000.0 AS jaccard_est,
+       floor(j_est * union_est * 1000000.0 + 0.5) / 1000000.0 AS inter_est
+FROM est
+"""
+
 # Bigram-LM quality: both engines train the same add-one-smoothed model
 # on the corpus; per-term log-probs quantized to integer micro-units
 # before summing (aggregation-order-proof).
@@ -1324,6 +1379,100 @@ JOIN sizes sa ON i.doc_a = sa.doc_id
 JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE floor(CAST(i.n_inter AS DOUBLE)
             / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+"""
+
+# The capstone composition: near-dup removal (same CTE chain as
+# td_dup_clusters_lsh) → curation → stratified sampling by DETECTED
+# language → token accounting, all over the post-dedup `corpus` CTE
+# (the per-doc oracle fragments are reused verbatim with their source
+# retargeted from `documents` to `corpus`).
+def _over_corpus(fragment: str) -> str:
+    return fragment.replace("FROM documents", "FROM corpus")
+
+
+ORACLES["td_pipeline"] = f"""
+WITH RECURSIVE inj AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+         array_to_string(
+           string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 2, 1)],
+           ' ')
+  FROM documents WHERE doc_id % 50 = 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM inj),
+sh AS (
+  SELECT DISTINCT doc_id, gram AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                 i -> array_to_string(l[i:i+2], ' '))) AS gram
+    FROM toks
+  ) WHERE length(gram) > 0
+),
+sig AS (
+  SELECT doc_id,
+         {_mh_mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_mh_banded}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE floor(CAST(i.n_inter AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, b AS r FROM sym
+  UNION
+  SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+),
+corpus AS (
+  SELECT doc_id, text FROM inj
+  WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+)
+SELECT s.doc_id, l.predicted_lang, q.quality, t.ws_tokens
+FROM (
+  SELECT min(doc_id) AS doc_id
+  FROM (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+    FROM corpus
+  ) GROUP BY f
+) s
+JOIN ({_over_corpus(ORACLES["td_quality"])}) q ON q.doc_id = s.doc_id
+JOIN ({_over_corpus(ORACLES["td_language_id"])}) l ON l.doc_id = s.doc_id
+JOIN ({_over_corpus(ORACLES["td_token_counts"])}) t ON t.doc_id = s.doc_id
+WHERE q.quality >= 0.5 AND l.predicted_lang <> 'und'
+  AND CAST('0x' || substr(md5('strat:' || l.predicted_lang || ':'
+             || CAST(s.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
+      < CASE l.predicted_lang WHEN 'en' THEN 500 WHEN 'zh' THEN 250 ELSE 100 END
 """
 
 ORACLES["td_contamination"] = """

@@ -348,6 +348,33 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between event types per
+    user stream (lag over the user partition, then one count agg) —
+    the sequence-mining primitive behind session modeling. Transition
+    probability in round6 per source state; integer counts make the
+    denominator exact."""
+    from ..functions.precision import round6
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type", 1).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wsrc = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "p", round6(F.col("n") / F.sum("n").over(wsrc))
+    )
+
+
 def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured demo: JSON props column → typed extraction
     (get_json_object, JVM-side) → per-type aggregates."""
