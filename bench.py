@@ -119,6 +119,11 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
 
             return triangles(g["triples"].select("src_id", "dst_id")).count()
 
+        def _pipeline():
+            from wikidata_qrank_spark.plans.training_data import corpus_prep
+
+            return corpus_prep(spark, sf_dir).count()
+
         extended = {
             "q6_exact_dedup": lambda: dedup.exact_duplicate_groups(docs).count(),
             "q7_minhash_pairs": lambda: dedup.minhash_lsh_pairs(docs).count(),
@@ -136,6 +141,8 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             "q13_jaccard_prefix": _jaccard_prefix,
             "q14_hll_tokens": _hll_tokens,
             "q15_triangles": _triangles,
+            # the composed corpus-prep capstone
+            "q16_pipeline": _pipeline,
         }
         for name, action in extended.items():
             timings[name] = _timed_min(action)
