@@ -63,3 +63,65 @@ def first_seen_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def latest_state(
+    grouped,
+    output_schema: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_cols: list[str],
+):
+    """Streaming changelog compaction — the streaming form of
+    operators/compaction.compact_changelog: per key, maintain the row
+    with the greatest (ts, tiebreak) across micro-batches and emit it
+    whenever it changes (update mode). The batch-parity test drives
+    the same rows through both forms and compares final states.
+
+    State per key is ONE row (ts, tiebreak, values...) — O(1) memory,
+    partitioned across executors by the state store; a late-arriving
+    older row never displaces newer state, which is exactly the
+    idempotence a CDC consumer needs.
+
+    ``output_schema`` must be ``<key cols>, <ts_col>, <tiebreak_col>,
+    <value_cols...>`` DDL; the state struct mirrors the non-key tail.
+    """
+    out_names = [c.strip().split(" ")[0] for c in output_schema.split(",")]
+    out_types = [
+        " ".join(c.strip().split(" ")[1:]) for c in output_schema.split(",")
+    ]
+    tail = [ts_col, tiebreak_col, *value_cols]
+    n_key = len(out_names) - len(tail)
+    state_schema = ", ".join(
+        f"{n} {t}" for n, t in zip(out_names[n_key:], out_types[n_key:])
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            top = pdf.sort_values([ts_col, tiebreak_col]).iloc[-1]
+            cand = tuple(top[c] for c in tail)
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        if best is None:
+            return
+        prev = tuple(state.get) if state.exists else None
+        if prev is not None and (prev[0], prev[1]) >= (best[0], best[1]):
+            return
+        state.update(best)
+        data = {name: [k] for name, k in zip(out_names, key)}
+        for name, v in zip(out_names[n_key:], best):
+            data[name] = [v]
+        yield pd.DataFrame(data)
+
+    return grouped.applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
