@@ -597,6 +597,22 @@ def _ev_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_user_state(spark, sf_dir)
 
 
+def _an_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (TPC-H Q17), explicitly
+    decorrelated into a per-part aggregate + broadcast join; the
+    oracle keeps the correlated form."""
+    from wikidata_qrank_spark.plans.analytics import small_quantity_revenue
+
+    return small_quantity_revenue(spark, sf_dir)
+
+
+def _an_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with coalesced absent sides."""
+    from wikidata_qrank_spark.plans.analytics import nation_participation
+
+    return nation_participation(spark, sf_dir)
+
+
 def _an_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with an explicit value domain (skips Spark's extra
     distinct-values job); oracle is the portable CASE-sum form."""
@@ -889,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["an_sales_cube"] = _an_sales_cube
     out["an_bloom_semijoin"] = _an_bloom_semijoin
     out["an_salted_join"] = _an_salted_join
+    out["an_below_avg"] = _an_below_avg
+    out["an_full_outer"] = _an_full_outer
     out["an_pivot"] = _an_pivot
     out["an_set_ops"] = _an_set_ops
     out["ev_sessions"] = _ev_sessions

@@ -87,3 +87,36 @@ def test_salted_join_rejects_right_join(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError):
         salted_join(df, df, on="k", how="right")
+
+
+def test_salted_join_fuzz_equality(spark):
+    """Seeded random tables (dup keys, unmatched keys both sides, NULL
+    keys): salted inner/left == plain inner/left."""
+    import random
+
+    from wikidata_qrank_spark.operators.skewjoin import salted_join
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        big = spark.createDataFrame(
+            [
+                (rng.choice([None, *range(6)]), rng.randint(0, 99))
+                for _ in range(60)
+            ],
+            "k long, payload long",
+        )
+        small = spark.createDataFrame(
+            [(rng.choice(range(8)), rng.randint(0, 9)) for _ in range(10)],
+            "k long, tag long",
+        )
+        from collections import Counter
+
+        for how in ("inner", "left"):
+            plain = Counter(
+                (r.k, r.payload, r.tag) for r in big.join(small, "k", how).collect()
+            )
+            salted = Counter(
+                (r.k, r.payload, r.tag)
+                for r in salted_join(big, small, on="k", how=how, salt_buckets=4).collect()
+            )
+            assert salted == plain, (trial, how)

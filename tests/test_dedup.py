@@ -215,3 +215,33 @@ def test_jaccard_prefix_float_boundary_threshold(spark):
             for r in jaccard_prefix_pairs(docs, n=3, threshold=t).collect()
         }
         assert pref == naive, (t, naive, pref)
+
+
+def test_jaccard_prefix_fuzz_equality(spark):
+    """Seeded random corpora × thresholds: prefix-filtered join equals
+    the naive all-pairs join every time (losslessness under fuzz,
+    guarding the epsilon'd prefix bound)."""
+    import random
+
+    from wikidata_qrank_spark.operators.dedup import jaccard_prefix_pairs
+
+    rng = random.Random(20260817)
+    words = [f"w{i}" for i in range(12)]
+    for trial in range(5):
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(rng.choices(words, k=rng.randint(5, 40))))
+                for i in range(12)
+            ],
+            "doc_id long, text string",
+        )
+        t = rng.choice([0.07, 0.13, 0.25, 0.33, 0.5, 0.66])
+        naive = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_prefix_pairs(docs, n=3, threshold=t).collect()
+        }
+        assert pref == naive, (trial, t)

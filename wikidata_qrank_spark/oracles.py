@@ -1691,6 +1691,33 @@ SELECT c_custkey, 'low_value_only' FROM ordered
 WHERE c_custkey NOT IN (SELECT c_custkey FROM high)
 """
 
+# The oracle keeps the CORRELATED subquery form — DuckDB decorrelates
+# it itself, independently of the engine's explicit join rewrite.
+ORACLES["an_below_avg"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c
+FROM lineitem l
+WHERE CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+      * (SELECT count(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey) * 5
+      < (SELECT sum(CAST(floor(i.l_quantity * 100 + 0.5) AS BIGINT))
+         FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+"""
+
+ORACLES["an_full_outer"] = """
+WITH cc AS (
+  SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY 1
+),
+sc AS (
+  SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM supplier GROUP BY 1
+)
+SELECT coalesce(cc.nationkey, sc.nationkey) AS nationkey,
+       CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+       CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
+FROM cc FULL JOIN sc ON cc.nationkey = sc.nationkey
+"""
+
 ORACLES["an_top_orders"] = """
 SELECT o_custkey, o_orderkey,
        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,

@@ -375,6 +375,48 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern (correlated scalar subquery, decorrelated):
+    revenue of lineitems whose quantity is below 20% of their part's
+    average. The correlated `(SELECT avg(..) WHERE same part)` becomes
+    a per-part aggregate joined back — the decorrelation Catalyst
+    would do for the subquery form, written explicitly; the per-part
+    dim joins broadcast. Threshold compares exact integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = _cents(F.col("l_quantity"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty_c).alias("sum_qty_c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        li.join(F.broadcast(per_part), "l_partkey")
+        .filter(qty_c * F.col("n") * 5 < F.col("sum_qty_c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+        )
+    )
+
+
+def nation_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join demo: per-nation customer counts ⟗ supplier
+    counts — nations with only one side present survive with a zero on
+    the other (coalesced), which inner/left forms would silently drop."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cc = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    sc = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers")
+    )
+    return cc.join(sc, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).cast("long").alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+    )
+
+
 def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured demo: JSON props column → typed extraction
     (get_json_object, JVM-side) → per-type aggregates."""
