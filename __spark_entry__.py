@@ -647,6 +647,36 @@ def _an_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return high_value_revenue_bloom(spark, sf_dir)
 
 
+def _ev_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics: even-event compacted state merged with
+    odd-event compacted updates, users ≡ 0 (mod 7) arriving as
+    tombstones — matched rows update, new keys insert, tombstoned keys
+    drop; oracle is the FULL JOIN formulation."""
+    from wikidata_qrank_spark.operators.compaction import (
+        compact_changelog,
+        merge_upsert,
+    )
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_c"),
+    )
+
+    def compacted(df: DataFrame) -> DataFrame:
+        return compact_changelog(
+            df, key_cols=["user_id"], ts_col="ts_us", tiebreak_col="event_id"
+        ).drop("event_id")
+
+    target = compacted(e.filter(F.col("event_id") % 2 == 0))
+    updates = compacted(e.filter(F.col("event_id") % 2 == 1)).withColumn(
+        "deleted", F.col("user_id") % 7 == 0
+    )
+    return merge_upsert(target, updates, key_cols=["user_id"], deleted_col="deleted")
+
+
 def _ev_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 history view: each per-user event becomes a validity
     interval closed by the next change (NULL-open for the current one)
@@ -902,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_moving_avg"] = _ev_moving_avg
     out["ev_latest_state"] = _ev_latest_state
     out["ev_scd2"] = _ev_scd2
+    out["ev_merge_upsert"] = _ev_merge_upsert
     out["an_sales_cube"] = _an_sales_cube
     out["an_bloom_semijoin"] = _an_bloom_semijoin
     out["an_salted_join"] = _an_salted_join

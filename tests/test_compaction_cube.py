@@ -181,3 +181,36 @@ def test_constraint_summary_counts(spark):
     }
     # NULL v counts as a violation (unknown is not a pass)
     assert out == {"v_positive": (3, 2), "id_nonnull": (3, 0)}
+
+
+def test_merge_upsert_semantics(spark):
+    """Matched rows update, unmatched updates insert, unmatched target
+    rows survive, tombstones delete (matched AND unmatched)."""
+    from wikidata_qrank_spark.operators.compaction import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (7, "g")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", False), (3, "C", False), (7, None, True), (9, None, True)],
+        "k long, v string, deleted boolean",
+    )
+    got = {
+        r.k: r.v
+        for r in merge_upsert(target, updates, ["k"], deleted_col="deleted").collect()
+    }
+    assert got == {1: "a", 2: "B", 3: "C"}
+
+
+def test_merge_upsert_no_tombstones_and_schema_check(spark):
+    import pytest as _pytest
+
+    from wikidata_qrank_spark.operators.compaction import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    updates = spark.createDataFrame([(1, "A"), (2, "B")], "k long, v string")
+    got = {r.k: r.v for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: "A", 2: "B"}
+    bad = spark.createDataFrame([(1, 5)], "k long, w long")
+    with _pytest.raises(ValueError):
+        merge_upsert(target, bad, ["k"])

@@ -61,3 +61,45 @@ def changelog_intervals(
     return df.withColumn(valid_from, F.col(ts_col)).withColumn(
         valid_to, F.lead(ts_col, 1).over(w)
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    deleted_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics (Delta/Iceberg write path) as a pure
+    transformation: rows of ``updates`` replace matching ``target``
+    rows (matched → UPDATE), non-matching update rows are inserted,
+    unmatched target rows are kept. If ``deleted_col`` names a boolean
+    column on ``updates``, true rows are tombstones: the matching
+    target row is dropped and nothing is inserted.
+
+    ``updates`` must be unique per key (pre-compact a changelog with
+    :func:`compact_changelog`). One shuffle on the merge key (the
+    full-outer join); with both sides bucketed/sorted by key this is
+    the merge-on-read compaction a lakehouse table runs.
+    """
+    keys = list(key_cols)
+    value_cols = [c for c in target.columns if c not in keys]
+    u_value_cols = [
+        c for c in updates.columns if c not in keys and c != deleted_col
+    ]
+    if value_cols != u_value_cols:
+        raise ValueError(
+            f"target/updates value columns differ: {value_cols} vs {u_value_cols}"
+        )
+    t = target.select(*keys, F.struct(*value_cols).alias("__t"))
+    u_struct = F.struct(*u_value_cols).alias("__u")
+    if deleted_col is None:
+        u = updates.select(*keys, u_struct, F.lit(False).alias("__del"))
+    else:
+        u = updates.select(
+            *keys, u_struct, F.coalesce(F.col(deleted_col), F.lit(False)).alias("__del")
+        )
+    joined = t.join(u, keys, "full_outer").filter(~F.coalesce("__del", F.lit(False)))
+    merged = F.coalesce("__u", "__t").alias("__m")
+    return joined.select(*keys, merged).select(
+        *keys, *[F.col("__m")[c].alias(c) for c in value_cols]
+    )

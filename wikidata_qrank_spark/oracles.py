@@ -750,6 +750,29 @@ SELECT event_id, user_id, epoch_us(ts) AS valid_from_us,
 FROM events
 """
 
+ORACLES["ev_merge_upsert"] = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events WHERE event_id % 2 = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+),
+u AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+         user_id % 7 = 0 AS deleted
+  FROM events WHERE event_id % 2 = 1
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+)
+SELECT coalesce(t.user_id, u.user_id) AS user_id,
+       CASE WHEN u.user_id IS NOT NULL THEN u.ts_us ELSE t.ts_us END AS ts_us,
+       CASE WHEN u.user_id IS NOT NULL THEN u.value_c ELSE t.value_c END AS value_c
+FROM t FULL JOIN u ON t.user_id = u.user_id
+WHERE NOT coalesce(u.deleted, FALSE)
+"""
+
 ORACLES["ev_latest_state"] = """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
        CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
