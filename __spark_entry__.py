@@ -629,6 +629,14 @@ def _an_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_set_ops(spark, sf_dir)
 
 
+def _an_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: pivot → unpivot round-trips to the plain long-form
+    aggregate (the oracle)."""
+    from wikidata_qrank_spark.plans.analytics import orders_unpivot
+
+    return orders_unpivot(spark, sf_dir)
+
+
 def _an_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (big-side row-hash salt, small side
     replicated into every bucket); oracle is the plain join — salting
@@ -939,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["an_below_avg"] = _an_below_avg
     out["an_full_outer"] = _an_full_outer
     out["an_pivot"] = _an_pivot
+    out["an_unpivot"] = _an_unpivot
     out["an_set_ops"] = _an_set_ops
     out["ev_sessions"] = _ev_sessions
     out["ev_props_stats"] = _ev_props_stats

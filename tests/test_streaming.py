@@ -140,3 +140,36 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM cp_join").collect()
     }
     assert got == batch
+
+
+def test_streaming_session_windows_match_batch_sessionize(spark, tmp_path):
+    """Native streaming session_window sessions == batch
+    gaps-and-islands sessions on the same rows (session identity =
+    (user, start); boundary gaps are measure-zero and absent here)."""
+    from wikidata_qrank_spark.operators.sessions import sessionize
+    from wikidata_qrank_spark.streaming.events import streaming_sessions
+
+    events = load_table(spark, SF_SMOKE, "events")
+    subset = events.limit(2500)
+    src = str(tmp_path / "sess_src")
+    subset.coalesce(2).write.parquet(src)
+
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessionize(spark.read.parquet(src), gap_minutes=30).collect()
+    }
+
+    stream_df = streaming_sessions(spark, src, schema=events.schema)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got == batch and len(got) > 0

@@ -1741,6 +1741,16 @@ SELECT coalesce(cc.nationkey, sc.nationkey) AS nationkey,
 FROM cc FULL JOIN sc ON cc.nationkey = sc.nationkey
 """
 
+# pivot → unpivot must round-trip to the plain long-form GROUP BY.
+ORACLES["an_unpivot"] = """
+SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS order_year,
+       CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS order_month,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
 ORACLES["an_top_orders"] = """
 SELECT o_custkey, o_orderkey,
        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,

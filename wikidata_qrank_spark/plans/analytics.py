@@ -417,6 +417,37 @@ def nation_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of orders_pivot: the wide per-month
+    status columns stacked back to (year, month, status, n) long form
+    via Spark's native unpivot; zero-count cells dropped to keep the
+    relation sparse. Composing pivot→unpivot round-trips the table,
+    which is what the oracle (plain GROUP BY) checks."""
+    wide = orders_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ["order_year", "order_month"],
+            ["n_open", "n_filled", "n_partial"],
+            "status_col",
+            "n",
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "order_year",
+            "order_month",
+            F.element_at(
+                F.create_map(
+                    F.lit("n_open"), F.lit("O"),
+                    F.lit("n_filled"), F.lit("F"),
+                    F.lit("n_partial"), F.lit("P"),
+                ),
+                F.col("status_col"),
+            ).alias("o_orderstatus"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
 def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured demo: JSON props column → typed extraction
     (get_json_object, JVM-side) → per-type aggregates."""

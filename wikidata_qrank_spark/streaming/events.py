@@ -122,6 +122,43 @@ def streaming_click_purchase_join(
     )
 
 
+def streaming_sessions(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema,
+    gap_minutes: int = 30,
+    watermark: str = "4 hours",
+):
+    """Native session windows over a stream: ``F.session_window`` with
+    a watermark — the streaming-stateful form of the batch
+    gaps-and-islands sessionize (operators/sessions.py). State per key
+    is the OPEN sessions only; the watermark closes and evicts them.
+
+    Boundary semantics: session_window merges events with gap < g
+    where the batch operator splits on gap > g — they differ only when
+    a gap equals g exactly (microsecond timestamps make that
+    measure-zero; the parity test asserts equality on real data).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parquet_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "total_value")
+    )
+
+
 def streaming_event_counts(
     spark: SparkSession,
     parquet_dir: str,
