@@ -300,7 +300,10 @@ def _td_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-grams, min per window — map-only expressions, no UDF."""
     from wikidata_qrank_spark.operators.textstats import winnowed_fingerprints
 
-    return winnowed_fingerprints(_documents(spark, sf_dir), k=8, window=4)
+    docs = _documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return winnowed_fingerprints(docs, k=8, window=4)
 
 
 def _td_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,6 +432,29 @@ def _td_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = inject_near_dups(_documents(spark, sf_dir))
     return jaccard_prefix_pairs(docs, n=3, threshold=0.5)
+
+
+def _td_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (overlap coefficient ≥ 0.9) over the
+    injected corpus — catches the quoted-inside dup case symmetric
+    Jaccard structurally misses."""
+    from wikidata_qrank_spark.operators.dedup import (
+        inject_near_dups,
+        overlap_coefficient_pairs,
+    )
+
+    docs = inject_near_dups(_documents(spark, sf_dir))
+    return overlap_coefficient_pairs(docs, n=3, threshold=0.9)
+
+
+def _td_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match stage: pairs sharing ≥4 winnowed fingerprints over
+    the injected corpus (guaranteed-common-substring candidates)."""
+    from wikidata_qrank_spark.operators.dedup import inject_near_dups
+    from wikidata_qrank_spark.operators.textstats import winnow_match_pairs
+
+    docs = inject_near_dups(_documents(spark, sf_dir))
+    return winnow_match_pairs(docs, k=8, window=4, min_shared=4, max_df=5)
 
 
 def _td_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_sample"] = _td_sample
     out["td_hll_tokens"] = _td_hll_tokens
     out["td_jaccard_prefix"] = _td_jaccard_prefix
+    out["td_containment"] = _td_containment
+    out["td_winnow_pairs"] = _td_winnow_pairs
     out["td_contamination"] = _td_contamination
     out["td_pii_scrub"] = _td_pii_scrub
     out["td_minhash_pairs"] = _td_minhash_pairs

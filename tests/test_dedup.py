@@ -245,3 +245,46 @@ def test_jaccard_prefix_fuzz_equality(spark):
             for r in jaccard_prefix_pairs(docs, n=3, threshold=t).collect()
         }
         assert pref == naive, (trial, t)
+
+
+def test_overlap_coefficient_catches_containment(spark):
+    """A short doc fully quoted inside a long one: overlap = 1.0 while
+    Jaccard is far below any dedup threshold."""
+    from wikidata_qrank_spark.operators.dedup import overlap_coefficient_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"filler{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.overlap for r in
+           overlap_coefficient_pairs(docs, n=3, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0}
+    jac = {(r.doc_a, r.doc_b) for r in
+           ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()}
+    assert (1, 2) not in jac  # the case Jaccard misses
+
+
+def test_winnow_match_pairs_max_df_suppression(spark):
+    """A copied passage matches through its rare fingerprints; a hot
+    boilerplate line shared by every doc is suppressed by max_df."""
+    from wikidata_qrank_spark.operators.textstats import winnow_match_pairs
+
+    boiler = "common header line present everywhere"
+    passage = "the unique stolen passage that was copied verbatim once"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + passage + " tail one"),
+            (2, boiler + " " + passage + " other ending two"),
+            (3, boiler + " totally different content here"),
+            (4, boiler + " yet another unrelated body text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_match_pairs(docs, min_shared=3, max_df=2).collect()
+    }
+    assert (1, 2) in got
+    assert all(p in {(1, 2)} for p in got), got

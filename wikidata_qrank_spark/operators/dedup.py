@@ -171,6 +171,47 @@ def jaccard_verify_candidates(
     )
 
 
+def overlap_coefficient_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(doc_a, doc_b, overlap) with overlap coefficient |A∩B| /
+    min(|A|,|B|) ≥ threshold — the ASYMMETRIC near-dup detector:
+    a short document quoted wholesale inside a long one scores ~1.0
+    here while its symmetric Jaccard can be arbitrarily small (the
+    containment case Jaccard-based dedup structurally misses).
+
+    Same shingle self-join frame as :func:`ngram_jaccard_pairs` — an
+    exact verification kernel; at scale feed candidate pairs from
+    minhash/prefix filtering through the same intersection counting
+    (see jaccard_verify_candidates) and swap the denominator.
+    """
+    sh = _shingles(documents, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "overlap",
+            round6(F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_a", "doc_b", "overlap")
+    )
+
+
 def jaccard_prefix_pairs(
     documents: DataFrame,
     text_col: str = "text",

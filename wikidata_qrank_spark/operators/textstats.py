@@ -365,3 +365,57 @@ def lm_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum("term_u") / (F.lit(1000000.0) * F.count(F.lit(1)))
         ).alias("avg_logp"),
     )
+
+
+def winnow_match_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, shared_fps) — the MOSS match stage on top of
+    :func:`winnowed_fingerprints`: document pairs sharing at least
+    ``min_shared`` winnowed fingerprints, i.e. pairs with several
+    guaranteed-common substrings of length ≥ k + window − 1
+    (plagiarism / wholesale-quotation candidates).
+
+    The join moves only (fp, doc_id) pairs. ``max_df`` drops
+    fingerprints appearing in more than that many documents BEFORE the
+    self-join — MOSS's common-substring suppression: boilerplate/hot
+    fingerprints carry no pair signal but dominate the join's fan-out
+    (cost ∝ Σ df², so one fp shared by every doc is a full cross
+    product). Copied passages still match through their RARE
+    fingerprints. At scale always set it (the gate uses 5; the
+    tiny-vocabulary synthetic corpus repeats 8-char substrings
+    everywhere, which is exactly the boilerplate regime)."""
+    # the fingerprint derivation dominates: higher-order-function
+    # expressions evaluate interpreted (outside whole-stage codegen),
+    # so (a) spread the map across all cores regardless of how few
+    # input splits the corpus arrived in, and (b) truncate the lineage
+    # once — it would otherwise re-evaluate for the df counts and per
+    # self-join side. The checkpointed relation is the MOSS index:
+    # (doc_id, fp) pairs, tiny next to text.
+    spark = documents.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    fps = winnowed_fingerprints(
+        documents.repartition(width), text_col, k=k, window=window
+    ).localCheckpoint(eager=True)
+    if max_df is not None:
+        df_counts = fps.groupBy("fp").agg(
+            F.count(F.lit(1)).cast("long").alias("__df")
+        )
+        fps = (
+            fps.join(df_counts.filter(F.col("__df") <= max_df), "fp")
+            .drop("__df")
+        )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, F.col("a.fp") == F.col("b.fp"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -1354,6 +1354,85 @@ FROM vocab a
 JOIN vocab b ON a.token < b.token AND levenshtein(a.token, b.token) <= 1
 """
 
+# Overlap coefficient (asymmetric containment): same injected corpus
+# as the other dedup gates; truncated copies are CONTAINED in their
+# source (overlap 1.0) even where Jaccard drops below a symmetric
+# threshold.
+ORACLES["td_containment"] = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+toks AS (
+  SELECT doc_id, l FROM base
+  UNION ALL
+  SELECT doc_id + 10000000,
+         string_split(array_to_string(l[1:greatest(len(l) - 2, 1)], ' '), ' ')
+  FROM base WHERE doc_id % 50 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                 i -> array_to_string(l[i:i+2], ' '))) AS gram
+    FROM toks
+  ) WHERE length(gram) > 0
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       floor(CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh)
+             * 1000000.0 + 0.5) / 1000000.0 AS overlap
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE floor(CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh)
+            * 1000000.0 + 0.5) / 1000000.0 >= 0.9
+"""
+
+# MOSS match stage over the injected corpus: pairs sharing >= 4
+# winnowed fingerprints (k=8, window=4 — same kernel as td_winnow_fps).
+ORACLES["td_winnow_pairs"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+         array_to_string(
+           string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 2, 1)],
+           ' ')
+  FROM documents WHERE doc_id % 50 = 0
+),
+g AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(length(text) - 8 + 1, 1)),
+      i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(substr(text, CAST(i AS INT), 8), ''),
+                              c -> CAST(ord(c) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % 2147483647)) AS grams
+  FROM base WHERE length(text) > 0
+),
+w AS (
+  SELECT doc_id,
+    list_distinct(
+      list_transform(generate_series(1, greatest(len(grams) - 4 + 1, 1)),
+                     j -> list_min(grams[j:j+3]))) AS fps
+  FROM g
+),
+fp0 AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+rare AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 5),
+fp AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN rare USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 4
+"""
+
 # Deterministic stratified sampling: the oracle reproduces the exact
 # per-row keep/drop decision from the same md5 hash — not a rate check.
 ORACLES["td_sample"] = """
