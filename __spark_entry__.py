@@ -300,10 +300,7 @@ def _td_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-grams, min per window — map-only expressions, no UDF."""
     from wikidata_qrank_spark.operators.textstats import winnowed_fingerprints
 
-    docs = _documents(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return winnowed_fingerprints(docs, k=8, window=4)
+    return winnowed_fingerprints(_documents(spark, sf_dir), k=8, window=4)
 
 
 def _td_curation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -164,3 +164,36 @@ def test_keep_snapshots_zero_overwrites(spark, tmp_path):
     mgr.run_stage("tbl", "v2", lambda: spark.range(6).select(F.col("id").alias("k")))
     assert mgr.snapshots("tbl")[-1]["rows"] == 6
     assert len(mgr.snapshots("tbl")) == 1
+
+
+def test_snapshot_crash_recovery_between_retire_and_manifest(spark, tmp_path):
+    """Simulate a crash after the old data dir was retired but before
+    the new manifest landed: the next run adopts the orphaned snapshot
+    into history (still readable, still GC-able) and read_snapshot
+    falls back to the retired dir while data/ is missing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.plans.checkpoint import CheckpointManager
+
+    base = str(tmp_path / "crash")
+    mgr = CheckpointManager(spark, base, keep_snapshots=2)
+    mgr.run_stage("tbl", "v1", lambda: spark.range(10).select(F.col("id").alias("k")))
+    v1_id = mgr.results["tbl"].snapshot_id
+
+    # crash simulation: retire data/ exactly as the publish path would,
+    # then "die" before the manifest write
+    data_dir = os.path.join(base, "tbl", "data")
+    retired = os.path.join(base, "tbl", "snapshots", v1_id)
+    os.makedirs(os.path.dirname(retired), exist_ok=True)
+    os.replace(data_dir, retired)
+
+    # reads of the manifest-current snapshot fall back to the retired dir
+    assert mgr.read_snapshot("tbl", v1_id).count() == 10
+
+    # the next publish adopts the orphan into history
+    mgr.run_stage("tbl", "v2", lambda: spark.range(20).select(F.col("id").alias("k")))
+    ids = [s["snapshot_id"] for s in mgr.snapshots("tbl")]
+    assert ids[0] == v1_id and len(ids) == 2
+    assert mgr.read_snapshot("tbl", v1_id).count() == 10

@@ -155,7 +155,7 @@ def test_streaming_session_windows_match_batch_sessionize(spark, tmp_path):
     subset.coalesce(2).write.parquet(src)
 
     batch = {
-        (r.user_id, r.session_start): r.n_events
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
         for r in sessionize(spark.read.parquet(src), gap_minutes=30).collect()
     }
 
@@ -169,7 +169,11 @@ def test_streaming_session_windows_match_batch_sessionize(spark, tmp_path):
     )
     q.awaitTermination(180)
     got = {
-        (r.user_id, r.session_start): r.n_events
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
         for r in spark.sql("SELECT * FROM sess_out").collect()
     }
-    assert got == batch and len(got) > 0
+    assert set(got) == set(batch) and len(got) > 0
+    for k, (n, tv) in batch.items():
+        assert got[k][0] == n
+        # same round6 rule both sides; tolerance covers sum-order ulps
+        assert abs(got[k][1] - tv) <= 1e-6, k

@@ -211,7 +211,9 @@ def test_corpus_prep_composition_invariants(spark):
     from wikidata_qrank_spark.operators.dedup import inject_near_dups
     from wikidata_qrank_spark.plans.training_data import corpus_prep
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMOKE
+
+    sf = SF_SMOKE
     out = corpus_prep(spark, sf).collect()
     assert len(out) > 0
     assert all(r.quality >= 0.5 and r.predicted_lang != "und" for r in out)

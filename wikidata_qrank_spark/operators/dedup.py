@@ -82,6 +82,28 @@ def _shingles(documents: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _pair_intersections(
+    documents: DataFrame, text_col: str, n: int
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) for every document pair with a
+    non-empty shingle intersection — the exact self-join frame shared
+    by the Jaccard and overlap-coefficient detectors (cost ∝ Σ
+    per-shingle freq²; see ngram_jaccard_pairs for the scale caveat)."""
+    sh = _shingles(documents, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     text_col: str = "text",
@@ -96,21 +118,8 @@ def ngram_jaccard_pairs(
     bucketing (minhash_lsh_pairs) — kept exact here as the verification
     kernel and the small-corpus path.
     """
-    sh = _shingles(documents, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _pair_intersections(documents, text_col, n)
         .withColumn(
             "jaccard",
             round6(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))),
@@ -183,26 +192,13 @@ def overlap_coefficient_pairs(
     here while its symmetric Jaccard can be arbitrarily small (the
     containment case Jaccard-based dedup structurally misses).
 
-    Same shingle self-join frame as :func:`ngram_jaccard_pairs` — an
-    exact verification kernel; at scale feed candidate pairs from
-    minhash/prefix filtering through the same intersection counting
-    (see jaccard_verify_candidates) and swap the denominator.
+    Shares the exact intersection frame with ngram_jaccard_pairs
+    (_pair_intersections) — only the denominator differs; at scale
+    feed candidate pairs through jaccard_verify_candidates-style
+    counting and swap the denominator the same way.
     """
-    sh = _shingles(documents, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _pair_intersections(documents, text_col, n)
         .withColumn(
             "overlap",
             round6(F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))),

@@ -21,17 +21,31 @@ from pyspark.sql import functions as F
 def constraint_summary(rules: dict[str, tuple[DataFrame, Column]]) -> DataFrame:
     """(rule, n_checked, n_violations) for each named rule; a violation
     is a row where the rule's condition is NOT true (NULL counts as a
-    violation — unknown is not a pass)."""
+    violation — unknown is not a pass). Rules over the SAME DataFrame
+    object are folded into one aggregate, so a table with N rules is
+    scanned once, not N times."""
     if not rules:
         raise ValueError("no rules given")
-    parts = []
+    by_df: dict[int, tuple[DataFrame, list[tuple[str, Column]]]] = {}
     for name, (df, cond) in rules.items():
-        parts.append(
-            df.agg(
-                F.count(F.lit(1)).cast("long").alias("n_checked"),
+        by_df.setdefault(id(df), (df, []))[1].append((name, cond))
+    parts = []
+    for df, named_conds in by_df.values():
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            *[
                 F.count(F.when(~F.coalesce(cond, F.lit(False)), F.lit(1)))
                 .cast("long")
-                .alias("n_violations"),
-            ).select(F.lit(name).alias("rule"), "n_checked", "n_violations")
+                .alias(f"__v{i}")
+                for i, (_, cond) in enumerate(named_conds)
+            ],
         )
+        for i, (name, _) in enumerate(named_conds):
+            parts.append(
+                agg.select(
+                    F.lit(name).alias("rule"),
+                    "n_checked",
+                    F.col(f"__v{i}").alias("n_violations"),
+                )
+            )
     return reduce(lambda a, b: a.unionByName(b), parts)

@@ -202,9 +202,16 @@ def winnowed_fingerprints(
     documents is guaranteed to share a fingerprint — so near-dup /
     plagiarism candidates are an equi-join on ``fp``.
 
-    Scale shape: pure map-side expression work per document (no UDF,
-    no shuffle); the downstream candidate join shuffles only
-    (fp, doc_id) pairs, never text."""
+    Scale shape: map-side expression work per document; the downstream
+    candidate join shuffles only (fp, doc_id) pairs, never text. The
+    higher-order-function hash evaluates INTERPRETED (outside
+    whole-stage codegen), so when the input arrives in fewer splits
+    than cores the corpus is first repartitioned to full width — the
+    one case where a shuffle is cheaper than the map it feeds."""
+    spark = documents.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < width:
+        documents = documents.repartition(width)
     text = F.col(text_col)
     gram_starts = F.sequence(
         F.lit(1), F.greatest(F.length(text) - k + 1, F.lit(1))
@@ -390,17 +397,13 @@ def winnow_match_pairs(
     fingerprints. At scale always set it (the gate uses 5; the
     tiny-vocabulary synthetic corpus repeats 8-char substrings
     everywhere, which is exactly the boilerplate regime)."""
-    # the fingerprint derivation dominates: higher-order-function
-    # expressions evaluate interpreted (outside whole-stage codegen),
-    # so (a) spread the map across all cores regardless of how few
-    # input splits the corpus arrived in, and (b) truncate the lineage
-    # once — it would otherwise re-evaluate for the df counts and per
-    # self-join side. The checkpointed relation is the MOSS index:
-    # (doc_id, fp) pairs, tiny next to text.
-    spark = documents.sparkSession
-    width = spark.sparkContext.defaultParallelism
+    # truncate the fingerprint lineage once: the expensive interpreted
+    # hash (winnowed_fingerprints handles its own parallelism) would
+    # otherwise re-evaluate for the df counts and per self-join side.
+    # The checkpointed relation is the MOSS index: (doc_id, fp) pairs,
+    # tiny next to text.
     fps = winnowed_fingerprints(
-        documents.repartition(width), text_col, k=k, window=window
+        documents, text_col, k=k, window=window
     ).localCheckpoint(eager=True)
     if max_df is not None:
         df_counts = fps.groupBy("fp").agg(

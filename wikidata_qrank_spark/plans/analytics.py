@@ -277,14 +277,16 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity WEEK,
     counted per activity week (the synthetic events span one month, so
     weekly buckets give a real matrix where monthly would be 1×1). The
-    user→cohort dim is derived once (per-user min) and joined back
-    broadcast; the matrix agg shuffles only (cohort, week) pairs."""
+    user→cohort dim is one row PER USER — unbounded at scale — so it
+    joins back on a plain user_id shuffle (no broadcast hint; AQE may
+    still broadcast when it measures small); the matrix agg then
+    shuffles only (cohort, week) pairs."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", F.col("ts").cast("timestamp")).alias("week")
     )
     cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        e.join(F.broadcast(cohort), "user_id")
+        e.join(cohort, "user_id")
         .select(
             F.unix_micros("cohort_week").alias("cohort_week_us"),
             F.unix_micros("week").alias("activity_week_us"),

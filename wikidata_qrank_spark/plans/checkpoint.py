@@ -134,23 +134,29 @@ class CheckpointManager:
         # travel, Iceberg's snapshot log) instead of deleted; the GC
         # below bounds history to keep_snapshots.
         history = (manifest or {}).get("history", [])
-        if os.path.isdir(data_dir):
-            old = manifest or {}
-            old_id = old.get("snapshot_id")
-            if self.keep_snapshots > 0 and old_id:
-                retired = os.path.join(self._stage_dir(name), "snapshots", old_id)
+        old = manifest or {}
+        old_id = old.get("snapshot_id")
+        old_entry = {
+            "snapshot_id": old_id,
+            "version": old.get("version"),
+            "rows": old.get("rows"),
+            "created_unix": old.get("created_unix"),
+        }
+        if self.keep_snapshots > 0 and old_id:
+            retired = os.path.join(self._stage_dir(name), "snapshots", old_id)
+            if os.path.isdir(data_dir):
                 os.makedirs(os.path.dirname(retired), exist_ok=True)
                 os.replace(data_dir, retired)
-                history = history + [
-                    {
-                        "snapshot_id": old_id,
-                        "version": old.get("version"),
-                        "rows": old.get("rows"),
-                        "created_unix": old.get("created_unix"),
-                    }
-                ]
-            else:
-                shutil.rmtree(data_dir)
+                history = history + [old_entry]
+            elif os.path.isdir(retired) and all(
+                h["snapshot_id"] != old_id for h in history
+            ):
+                # crash recovery: a previous run retired data/ but died
+                # before writing its manifest — adopt the orphaned
+                # snapshot into history so it stays readable and GC-able
+                history = history + [old_entry]
+        elif os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
         expired = history[: -self.keep_snapshots] if self.keep_snapshots else history
         for e in expired:
             shutil.rmtree(
@@ -235,10 +241,11 @@ class CheckpointManager:
         """Time travel: read a stage AS OF a snapshot — the current one
         or any retired snapshot still within keep_snapshots."""
         manifest = self._read_manifest(name) or {}
-        if manifest.get("snapshot_id") == snapshot_id:
-            return self.spark.read.parquet(
-                os.path.join(self._stage_dir(name), "data")
-            )
+        data_dir = os.path.join(self._stage_dir(name), "data")
+        if manifest.get("snapshot_id") == snapshot_id and os.path.isdir(data_dir):
+            return self.spark.read.parquet(data_dir)
+        # current-per-manifest but data/ missing (crash between retire
+        # and manifest write) falls through to the retired location
         retired = os.path.join(self._stage_dir(name), "snapshots", snapshot_id)
         if not os.path.isdir(retired):
             known = [s["snapshot_id"] for s in self.snapshots(name)]

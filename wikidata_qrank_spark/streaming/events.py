@@ -153,7 +153,12 @@ def streaming_sessions(
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # same rounding RULE as the batch sessionize (round6, not
+            # F.round's HALF_UP) so the only residual divergence is
+            # sum-order noise, which the parity test bounds
+            (F.floor(F.sum("value") * 1000000.0 + 0.5) / 1000000.0).alias(
+                "total_value"
+            ),
         )
         .select("user_id", F.col("w.start").alias("session_start"), "n_events", "total_value")
     )

@@ -19,6 +19,17 @@ from typing import Any, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def _ddl_fields(schema: str) -> tuple[list[str], list[str]]:
+    """Names and type strings from a DDL schema — a real parse
+    (StructType.fromDDL), so types containing commas or spaces
+    (decimal(10,2), arrays) don't corrupt the split."""
+    struct = StructType.fromDDL(schema)
+    return [f.name for f in struct.fields], [
+        f.dataType.simpleString() for f in struct.fields
+    ]
 
 
 def first_seen_dedup(
@@ -36,7 +47,7 @@ def first_seen_dedup(
     the emitted frame.
     """
 
-    out_names = [c.strip().split(" ")[0] for c in output_schema.split(",")]
+    out_names, _ = _ddl_fields(output_schema)
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -86,10 +97,7 @@ def latest_state(
     ``output_schema`` must be ``<key cols>, <ts_col>, <tiebreak_col>,
     <value_cols...>`` DDL; the state struct mirrors the non-key tail.
     """
-    out_names = [c.strip().split(" ")[0] for c in output_schema.split(",")]
-    out_types = [
-        " ".join(c.strip().split(" ")[1:]) for c in output_schema.split(",")
-    ]
+    out_names, out_types = _ddl_fields(output_schema)
     tail = [ts_col, tiebreak_col, *value_cols]
     n_key = len(out_names) - len(tail)
     state_schema = ", ".join(
