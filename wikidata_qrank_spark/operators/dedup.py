@@ -254,13 +254,25 @@ def jaccard_prefix_pairs(
     prefix_len = (n_sh - alpha + 1).cast("int")
     prefix = per_doc.select(
         "doc_id",
+        n_sh.alias("n_sh"),
         F.explode(F.slice("toks", 1, prefix_len)).alias("t"),
-    ).select("doc_id", F.col("t.shingle").alias("shingle"))
+    ).select("doc_id", "n_sh", F.col("t.shingle").alias("shingle"))
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin length filter (lossless): J(x,y) ≥ t forces
+    # t·|y| ≤ |x| ≤ |y|/t, so size-incompatible pairs can't qualify
+    # and are dropped inside the join (same epsilon as the prefix
+    # bound). On real corpora this prunes most candidates a hot prefix
+    # token would otherwise generate across very different doc sizes.
+    t_eps = F.lit(float(threshold) - 1e-6)
     cand = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= t_eps * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= t_eps * F.col("a.n_sh")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
