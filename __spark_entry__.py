@@ -556,6 +556,22 @@ def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per media span — the media dedup key
+    (downstream joins reuse the exact-dedup/simhash machinery on a
+    binary column); oracle rebuilds the hash from the deterministic
+    fake decode."""
+    from wikidata_qrank_spark.operators.multimodal import (
+        extract_features,
+        media_ahash,
+        media_table,
+    )
+    from wikidata_qrank_spark.sources.interleaved import spans
+
+    feats = extract_features(media_table(spans(_documents(spark, sf_dir))))
+    return media_ahash(feats)
+
+
 def _wiki_item_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.plans.derived_wiki import wiki_item_signals
 
@@ -953,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_lsh_ann"] = _td_lsh_ann
     out["td_ivf_ann"] = _td_ivf_ann
     out["mm_media_features"] = _mm_media_features
+    out["mm_media_ahash"] = _mm_media_ahash
     out["ev_windowed_counts"] = _ev_windowed_counts
     out["ev_asof_clicks"] = _ev_asof_clicks
     out["ev_range_join"] = _ev_range_join

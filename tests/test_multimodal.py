@@ -97,3 +97,34 @@ def test_resize_media_plumbing(spark):
     assert rows["1"].resized_ok and len(rows["1"].payload) == 48
     assert rows["1"].width == 32 and rows["1"].height == 16
     assert not rows["2"].resized_ok and rows["2"].payload == b""
+
+
+def test_media_ahash_properties(spark):
+    """aHash: identical payloads get identical hashes; the hash matches
+    a Python recomputation of bit_i = feature_i > mean."""
+    from wikidata_qrank_spark.operators.multimodal import (
+        extract_features,
+        media_ahash,
+        media_table,
+    )
+
+    spans_df = spark.createDataFrame(
+        [
+            ("1", 0, "media", None, "img_alpha.jpg"),
+            ("2", 1, "media", None, "img_alpha.jpg"),  # same payload
+            ("3", 2, "media", None, "other_clip.ogg"),
+        ],
+        "doc_id string, offset int, kind string, text string, media_ref string",
+    )
+    feats = extract_features(media_table(spans_df))
+    rows = {r.doc_id: r.ahash for r in media_ahash(feats).collect()}
+    assert rows["1"] == rows["2"]
+
+    def ahash(ref):
+        raw = ref.encode()
+        f = [(raw[i % len(raw)]) / 255.0 for i in range(8)]
+        mu = sum(f) / 8.0
+        return sum(1 << i for i, x in enumerate(f) if x > mu)
+
+    assert rows["1"] == ahash("img_alpha.jpg")
+    assert rows["3"] == ahash("other_clip.ogg")

@@ -171,3 +171,37 @@ def resize_media(media_df: DataFrame, width: int = 64, height: int = 64) -> Data
     return media_df.select(
         "doc_id", "offset", "media_ref", "payload", "media_type"
     ).mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def media_ahash(features_df: DataFrame) -> DataFrame:
+    """(doc_id, offset, media_ref, ahash) — perceptual average-hash
+    over the decoded feature vector: bit i set iff feature_i is above
+    the vector mean. THE media dedup key: byte-identical payloads and
+    perceptually-close variants land in the same (or hamming-near)
+    bucket, and the downstream join is exactly the exact-dedup /
+    simhash machinery already in operators/dedup.py, applied to a
+    binary column.
+
+    Built-in array ops over the already-extracted features (JVM-side);
+    the mean and the bit fold are LEFT folds so the oracle's
+    list_reduce reproduces the float path bit-for-bit. A real pHash
+    (DCT of a decoded image) swaps into _fake_decode's slot — the hash
+    derivation here is decoder-agnostic."""
+    mu = F.aggregate(
+        F.col("feature"), F.lit(0.0), lambda a, x: a + x
+    ) / F.size("feature")
+    ah = F.expr(
+        """
+        aggregate(
+          zip_with(feature, sequence(0, size(feature) - 1),
+                   (x, i) -> CASE WHEN x > __mu
+                             THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))
+                             ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (a, x) -> a + x)
+        """
+    )
+    return (
+        features_df.withColumn("__mu", mu)
+        .withColumn("ahash", ah)
+        .select("doc_id", "offset", "media_ref", "ahash")
+    )

@@ -1643,6 +1643,33 @@ FROM spans WHERE kind = 'media'
 """
 )
 
+# Perceptual average-hash over the fake-decoded features (ord(byte)/255
+# cyclic over the payload = the utf-8 media_ref, mirroring _fake_decode);
+# LEFT folds on both sides so the float path is bit-identical.
+ORACLES["mm_media_ahash"] = kg_sql(
+    """
+SELECT doc_id, "offset", media_ref,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(0, 7),
+              i -> CASE WHEN feat[CAST(i AS INT) + 1] > mu
+                   THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                   ELSE CAST(0 AS BIGINT) END)),
+            (a, x) -> a + x) AS BIGINT) AS ahash
+FROM (
+  SELECT doc_id, "offset", media_ref, feat,
+         list_reduce(list_prepend(0.0, feat), (a, x) -> a + x) / 8.0 AS mu
+  FROM (
+    SELECT doc_id, "offset", media_ref,
+           list_transform(generate_series(0, 7),
+             i -> CAST(ord(substr(media_ref,
+                    CAST(i % length(media_ref) AS INT) + 1, 1)) AS DOUBLE)
+                  / 255.0) AS feat
+    FROM spans WHERE kind = 'media'
+  )
+)
+"""
+)
+
 # ---- wiki-shaped derived tables (J10/A7 + J7 at data scale) ------------
 
 ORACLES["wiki_item_signals"] = """
