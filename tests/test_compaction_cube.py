@@ -214,3 +214,49 @@ def test_merge_upsert_no_tombstones_and_schema_check(spark):
     bad = spark.createDataFrame([(1, 5)], "k long, w long")
     with _pytest.raises(ValueError):
         merge_upsert(target, bad, ["k"])
+
+
+def test_compaction_merge_law_fuzz(spark):
+    """The law that makes incremental compaction correct:
+    compact(log1 ∪ log2) == merge_upsert(compact(log1),
+    updates=compact(log2)) whenever log2's changes are newer per key
+    than log1's (the CDC batch-ordering invariant). Seeded random
+    logs."""
+    import random
+
+    from wikidata_qrank_spark.operators.compaction import (
+        compact_changelog,
+        merge_upsert,
+    )
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        log1, log2 = [], []
+        cid = 0
+        for k in range(8):
+            for _ in range(rng.randint(0, 4)):
+                cid += 1
+                log1.append((cid, k, rng.randint(0, 50), f"v{cid}"))
+            for _ in range(rng.randint(0, 3)):
+                cid += 1
+                log2.append((cid, k, rng.randint(100, 150), f"v{cid}"))
+        schema = "change_id long, k long, ts long, payload string"
+        df1 = spark.createDataFrame(log1 or [(0, -1, 0, "x")], schema)
+        df2 = spark.createDataFrame(log2 or [(0, -2, 0, "x")], schema)
+
+        def comp(df):
+            return compact_changelog(
+                df, key_cols=["k"], ts_col="ts", tiebreak_col="change_id"
+            )
+
+        full = {
+            r.k: (r.change_id, r.ts, r.payload)
+            for r in comp(df1.unionByName(df2)).collect()
+        }
+        merged = {
+            r.k: (r.change_id, r.ts, r.payload)
+            for r in merge_upsert(
+                comp(df1), comp(df2), key_cols=["k"]
+            ).collect()
+        }
+        assert merged == full, trial
