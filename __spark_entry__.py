@@ -636,6 +636,24 @@ def _ev_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_user_state(spark, sf_dir)
 
 
+def _an_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL consumption layer: a user-written spark.sql query over
+    the registered catalog (raw tables + kg_* views) — documents of
+    top-ranked entities' mention volume. Same Catalyst plans as the
+    DataFrame API; the oracle nests the kg_qrank oracle."""
+    from wikidata_qrank_spark.plans.sql_catalog import sql
+
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT r.item, r.item_id, r.views, r.rank
+        FROM kg_qrank r
+        WHERE r.rank <= 10
+        """,
+    )
+
+
 def _an_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery pattern (TPC-H Q17), explicitly
     decorrelated into a per-part aggregate + broadcast join; the
@@ -986,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["an_sales_cube"] = _an_sales_cube
     out["an_bloom_semijoin"] = _an_bloom_semijoin
     out["an_salted_join"] = _an_salted_join
+    out["an_sql_surface"] = _an_sql_surface
     out["an_below_avg"] = _an_below_avg
     out["an_full_outer"] = _an_full_outer
     out["an_pivot"] = _an_pivot

@@ -143,3 +143,26 @@ def test_triples_arrow_guard_falls_back(spark):
     fallback = triples_arrow(documents, cdict, max_dict_rows=1)
     assert fallback.exceptAll(arrow).count() == 0
     assert arrow.exceptAll(fallback).count() == 0
+
+
+def test_sql_catalog_matches_dataframe_api(spark):
+    """spark.sql over the registered catalog returns the same rows as
+    the DataFrame API, and raw tables are queryable by name."""
+    from tests.conftest import SF_SMOKE
+    from wikidata_qrank_spark.plans.pipeline import build_graph
+    from wikidata_qrank_spark.plans.sql_catalog import register_catalog
+
+    names = register_catalog(spark, SF_SMOKE)
+    assert "documents" in names and "kg_qrank" in names
+    via_sql = {
+        (r.item, r.views, r.rank)
+        for r in spark.sql("SELECT item, views, rank FROM kg_qrank").collect()
+    }
+    via_df = {
+        (r.item, r.views, r.rank)
+        for r in build_graph(spark, SF_SMOKE)["qrank"]
+        .select("item", "views", "rank")
+        .collect()
+    }
+    assert via_sql == via_df
+    assert spark.sql("SELECT count(*) AS n FROM documents").first().n > 0

@@ -1744,6 +1744,14 @@ SELECT 'Q' || CAST(src_id AS VARCHAR) AS subj,
 FROM edges
 """
 
+# SQL-surface demo: the user's spark.sql query over kg_qrank — oracle
+# nests the kg_qrank oracle with the same predicate.
+ORACLES["an_sql_surface"] = f"""
+SELECT item, item_id, views, rank
+FROM ({ORACLES["kg_qrank"]})
+WHERE rank <= 10
+"""
+
 # ---- general analytics -------------------------------------------------
 
 ORACLES["an_pricing_summary"] = """
