@@ -278,6 +278,147 @@ def run_scaled_build(cpus: int, corpus_dir: str, sf_dir: str, trials: int = 3) -
             "n_docs": n, "cpus": cpus}
 
 
+DEDUP_REPL = int(os.environ.get("SPARK_GRAFT_DEDUP_REPL", "100"))
+
+
+def materialize_dedup_corpus(sf_dir: str, repl: int, out: str) -> int:
+    """Corpus for the dedup-scaling measurement: each replica gets its
+    own token vocabulary (every token suffixed with the replica id), so
+    cross-replica similarity is ZERO and duplicate density stays the
+    injected ~2% — replicating text verbatim would make every doc a
+    near-dup of its copies and the banded join quadratic in the
+    replication factor, which benchmarks the corpus, not the plan."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.session import get_session
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    spark = get_session("dedup-bench-setup", cpus=CPUS)
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    docs = (
+        base.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("r"),
+        )
+        .select(
+            (F.col("doc_id") * repl + F.col("r")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    "toks",
+                    lambda t: F.concat(t, F.lit("_"), F.col("r").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .repartition(96)
+    )
+    docs.write.mode("overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    spark.stop()
+    return n
+
+
+def run_scaled_dedup(cpus: int, corpus_dir: str, trials: int = 2) -> dict:
+    """The scale dedup pipeline (xxhash64 minhash LSH → exact verify on
+    candidates → connected components) over the materialized corpus at
+    one pinned parallelism level; min-of-trials, warmed JVM."""
+    import time as _time
+
+    from wikidata_qrank_spark.operators.clusters import dup_clusters_scaled
+    from wikidata_qrank_spark.operators.dedup import inject_near_dups
+    from wikidata_qrank_spark.session import get_session
+
+    spark = get_session(
+        f"dedup-scale-{cpus}",
+        cpus=cpus,
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.sql.shuffle.partitions": str(cpus * 2),
+            **(
+                {"spark.local.dir": "/dev/shm/spark-local"}
+                if os.path.isdir("/dev/shm")
+                else {}
+            ),
+        },
+    )
+    corpus = spark.read.parquet(corpus_dir)
+
+    def job(df):
+        t0 = _time.perf_counter()
+        dup_clusters_scaled(inject_near_dups(df), threshold=0.5).count()
+        return _time.perf_counter() - t0
+
+    job(corpus.limit(5000))
+    walls = [job(corpus) for _ in range(trials)]
+    n = corpus.count()
+    spark.stop()
+    return {
+        "wall_sec": round(min(walls), 3),
+        "all_walls": [round(w, 3) for w in walls],
+        "n_docs": n,
+        "cpus": cpus,
+    }
+
+
+def _run_dedup_level_pinned(cpus: int, corpus_dir: str) -> dict:
+    code = (
+        "import os, sys, json; os.sched_setaffinity(0, set(range({c})));"
+        "sys.path.insert(0, {root!r});"
+        "import bench; r = bench.run_scaled_dedup({c}, {corpus!r});"
+        "print('LEVEL ' + json.dumps(r))"
+    ).format(
+        c=cpus,
+        root=os.path.dirname(os.path.abspath(__file__)),
+        corpus=corpus_dir,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=False
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("LEVEL "):
+            return json.loads(line[6:])
+    raise RuntimeError(f"dedup level {cpus} failed: {out.stderr[-2000:]}")
+
+
+def scaling_dedup_mode() -> None:
+    import shutil
+
+    n = SCALE_N
+    n4 = n * 4
+    corpus_dir = _corpus_dir()
+    docs = materialize_dedup_corpus(SF_DIR, DEDUP_REPL, corpus_dir)
+    try:
+        r_n = _run_dedup_level_pinned(n, corpus_dir)
+        r_4n = _run_dedup_level_pinned(n4, corpus_dir)
+    finally:
+        shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
+    tp_n = docs / r_n["wall_sec"]
+    tp_4n = docs / r_4n["wall_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline_scaling",
+                "unit": "docs/sec",
+                "n_cpus": n,
+                "n4_cpus": n4,
+                "docs": docs,
+                "wall_n_sec": r_n["wall_sec"],
+                "wall_4n_sec": r_4n["wall_sec"],
+                "all_walls_n": r_n["all_walls"],
+                "all_walls_4n": r_4n["all_walls"],
+                "throughput_n": round(tp_n, 1),
+                "throughput_4n": round(tp_4n, 1),
+                "speedup": round(tp_4n / tp_n, 3),
+                "scaling_efficiency": round((tp_4n / tp_n) / (n4 / n), 3),
+                "sf": _sf_label(SF_DIR),
+                "replication": DEDUP_REPL,
+            }
+        )
+    )
+
+
 def cpu_control(cpus: int) -> float:
     """Pure-CPU control job (range scan + xxhash + bit_xor, no shuffle,
     no IO): measures how well ANY cpu-bound Spark job can scale at this
@@ -368,6 +509,9 @@ def scaling_mode() -> None:
 
 
 def main() -> None:
+    if "--scaling-dedup" in sys.argv:
+        scaling_dedup_mode()
+        return
     if "--scaling" in sys.argv:
         scaling_mode()
         return
