@@ -941,6 +941,55 @@ def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(load_table(spark, sf_dir, "events"))
 
 
+# Driver-gate rotation: the driver's correctness gate records only the
+# FIRST 50 entries of queries() (dict insertion order).  With >50
+# registered queries we rotate the order each round so every key gets a
+# driver-side green row at least every other round:
+#   round 3 gate covered registration keys 1..50 (kg_* .. td_ivf_ann);
+#   round 4 puts the 33 keys that round 3 missed (mm_*, ev_*, an_*,
+#   wiki_*) FIRST, plus any new round-4 keys, then the round-3-verified
+#   keys in their old order.
+# Keys listed here are emitted first, in this order; anything not
+# listed follows in registration order.
+_GATE_FIRST = (
+    # never driver-verified before round 4 (judge-verified via
+    # scripts/check_oracle.py in round 3; see VERDICT.md "Next round" #1)
+    "mm_media_features",
+    "mm_media_ahash",
+    "ev_windowed_counts",
+    "ev_asof_clicks",
+    "ev_range_join",
+    "ev_rollup_cascade",
+    "ev_incremental_agg",
+    "ev_click_purchase_join",
+    "ev_transitions",
+    "ev_funnel",
+    "ev_cohorts",
+    "ev_moving_avg",
+    "ev_latest_state",
+    "ev_scd2",
+    "ev_merge_upsert",
+    "an_sales_cube",
+    "an_bloom_semijoin",
+    "an_salted_join",
+    "an_sql_surface",
+    "an_below_avg",
+    "an_full_outer",
+    "an_pivot",
+    "an_unpivot",
+    "an_set_ops",
+    "ev_sessions",
+    "ev_props_stats",
+    "ev_quantiles",
+    "an_monthly_revenue",
+    "wiki_item_signals",
+    "wiki_links",
+    "an_pricing_summary",
+    "an_revenue_by_nation",
+    "an_top_orders",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _PIPELINE_KEYS:
@@ -1019,7 +1068,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["an_pricing_summary"] = _an_pricing_summary
     out["an_revenue_by_nation"] = _an_revenue_by_nation
     out["an_top_orders"] = _an_top_orders
-    return out
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for key in _GATE_FIRST:
+        ordered[key] = out[key]
+    for key, fn in out.items():
+        if key not in ordered:
+            ordered[key] = fn
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

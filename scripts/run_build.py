@@ -44,6 +44,14 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # validate the flag combination before paying JVM/session startup
+    # (in non-local mode a bad invocation would otherwise attach to the
+    # cluster just to error out)
+    if bool(args.dumps) == bool(args.input):
+        ap.error("exactly one of --input (tables) or --dumps (raw tree) is required")
+    if args.input and not args.checkpoint:
+        ap.error("--checkpoint is required with --input")
+
     if args.local_cpus:
         from wikidata_qrank_spark.session import get_session
 
@@ -52,9 +60,6 @@ def main() -> None:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.builder.appName("kg-build").getOrCreate()
-
-    if bool(args.dumps) == bool(args.input):
-        ap.error("exactly one of --input (tables) or --dumps (raw tree) is required")
 
     if args.dumps:
         from wikidata_qrank_spark.plans.dumps_build import run_dumps_build
@@ -74,9 +79,6 @@ def main() -> None:
         )
         spark.stop()
         return
-
-    if not args.checkpoint:
-        ap.error("--checkpoint is required with --input")
 
     from wikidata_qrank_spark.plans.pipeline import run_full_build
 

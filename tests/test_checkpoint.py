@@ -197,3 +197,70 @@ def test_snapshot_crash_recovery_between_retire_and_manifest(spark, tmp_path):
     ids = [s["snapshot_id"] for s in mgr.snapshots("tbl")]
     assert ids[0] == v1_id and len(ids) == 2
     assert mgr.read_snapshot("tbl", v1_id).count() == 10
+
+
+def test_crash_recovery_publish_before_manifest(spark, tmp_path):
+    """The other crash window: a run retired data/ into snapshots/<id>,
+    re-published a NEW data/, then died before committing its manifest.
+    The next recompute must not os.replace onto the non-empty retired
+    dir (ENOTEMPTY); it discards the uncommitted publish (no manifest
+    row references it) and keeps the genuine retired snapshot."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.plans.checkpoint import CheckpointManager
+
+    base = str(tmp_path / "crash2")
+    mgr = CheckpointManager(spark, base, keep_snapshots=2)
+    mgr.run_stage("tbl", "v1", lambda: spark.range(10).select(F.col("id").alias("k")))
+    v1_id = mgr.results["tbl"].snapshot_id
+
+    # crash simulation: retire data/ under its manifest id, then write
+    # an imposter "new publish" at data/ whose manifest never landed
+    data_dir = os.path.join(base, "tbl", "data")
+    retired = os.path.join(base, "tbl", "snapshots", v1_id)
+    os.makedirs(os.path.dirname(retired), exist_ok=True)
+    os.replace(data_dir, retired)
+    spark.range(15).select(F.col("id").alias("k")).write.parquet(data_dir)
+
+    # recompute succeeds (no ENOTEMPTY wedge), v1 stays readable with
+    # its original content, and the orphan publish is gone
+    mgr.run_stage("tbl", "v2", lambda: spark.range(20).select(F.col("id").alias("k")))
+    assert mgr.results["tbl"].rows == 20
+    assert mgr.read_snapshot("tbl", v1_id).count() == 10
+    ids = [s["snapshot_id"] for s in mgr.snapshots("tbl")]
+    assert ids[0] == v1_id and len(ids) == 2
+
+
+def test_zone_map_survives_relocated_checkpoint(spark, tmp_path):
+    """Zone maps are stored relative to the stage data dir (derived
+    from parquet footers, no second scan), so copying or moving the
+    whole checkpoint tree keeps read_pruned working."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.plans.checkpoint import CheckpointManager
+
+    src = str(tmp_path / "orig")
+    mgr = CheckpointManager(spark, src)
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    mgr.run_stage(
+        "tbl", "v1", lambda: df,
+        range_partition=["k"], sort_within=["k"],
+        num_partitions=8, zone_map_cols=["k"],
+    )
+    zm = mgr._read_manifest("tbl")["zone_maps"]["k"]
+    assert all(not os.path.isabs(f) for f in zm)  # relative entries
+
+    dst = str(tmp_path / "moved")
+    shutil.move(src, dst)
+    mgr2 = CheckpointManager(spark, dst)
+    pruned = mgr2.read_pruned("tbl", "k", 100, 300)
+    assert {r.k for r in pruned.collect()} == set(range(100, 301))
+    touched = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(touched) < len(zm)  # still skips files after the move

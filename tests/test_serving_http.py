@@ -71,6 +71,45 @@ def test_http_get_head_304_options_405(tmp_path):
         httpd.shutdown()
 
 
+def test_http_index_and_robots(tmp_path):
+    """Reference HandleMain + HandleRobotsTxt (main.go:57-99,146-150):
+    GET / serves the HTML landing page (and, like Go's "/" catch-all
+    pattern, so does any other non-download path); /robots.txt is the
+    constant allow-all file."""
+    httpd, server, port = _start(tmp_path)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+
+        conn.request("GET", "/")
+        r = conn.getresponse()
+        body = r.read()
+        assert r.status == 200
+        assert r.getheader("Content-Type").startswith("text/html")
+        assert b"Wikidata QRank" in body
+        assert b"/download/qrank.csv.gz" in body
+
+        conn.request("GET", "/robots.txt")
+        r = conn.getresponse()
+        body = r.read()
+        assert r.status == 200
+        assert r.getheader("Content-Type") == "text/plain"
+        assert body == b"User-Agent: *\nAllow: /\n"
+
+        # Go's "/" pattern catches every unmatched path → landing page
+        conn.request("GET", "/some/other/page")
+        r = conn.getresponse()
+        assert r.status == 200 and b"Wikidata QRank" in r.read()
+
+        conn.request("HEAD", "/robots.txt")
+        r = conn.getresponse()
+        assert r.status == 200 and r.read() == b""
+        assert r.getheader("Content-Length") == str(
+            len(b"User-Agent: *\nAllow: /\n")
+        )
+    finally:
+        httpd.shutdown()
+
+
 def test_http_serves_new_version_after_reload(tmp_path):
     httpd, server, port = _start(tmp_path)
     try:

@@ -153,7 +153,9 @@ def bfs_distances(
             "hops", F.lit(hop).cast("long")
         )
         new_nodes = new_nodes.localCheckpoint(eager=True)
-        if new_nodes.rdd.isEmpty():
+        # DataFrame-native emptiness probe: .rdd.isEmpty() would force a
+        # non-AQE RDD job per hop
+        if new_nodes.limit(1).count() == 0:
             break
         dist = dist.unionByName(new_nodes).localCheckpoint(eager=True)
         frontier = new_nodes

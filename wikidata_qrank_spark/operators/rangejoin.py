@@ -43,9 +43,15 @@ def range_join(
     collide (select/alias beforehand)."""
     if bucket <= 0:
         raise ValueError("bucket must be positive")
-    # floor-division (not double-divide + trunc-cast): sign-correct for
-    # values below zero, exact for longs
-    bucket_of = lambda c: F.floor(F.col(c) / F.lit(bucket)).cast("long")  # noqa: E731
+
+    # sign-correct floor division computed entirely in long arithmetic:
+    # `/` in Spark is double division, which loses exactness above 2^53
+    # and could drop a matching pair at the bucket boundary
+    def bucket_of(c: str):
+        q = F.expr(f"`{c}` div {bucket}")
+        return F.when(
+            F.expr(f"`{c}` % {bucket}") < 0, q - F.lit(1)
+        ).otherwise(q).cast("long")
     ib = intervals.withColumn(
         "__b", F.explode(F.sequence(bucket_of(start_col), bucket_of(end_col)))
     )

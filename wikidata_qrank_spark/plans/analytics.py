@@ -35,8 +35,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer ⋈ orders ⋈ lineitem ⋈ nation, revenue per nation —
-    broadcast dims, corpus-side fact joins."""
+    """customer ⋈ orders ⋈ lineitem ⋈ nation, revenue per nation.
+
+    Only the true dimension (nation, fixed 25 rows) carries a broadcast
+    hint. customer SCALES with the fact side (15 M rows at TPC-H sf100)
+    — a hard ``F.broadcast`` there is a driver OOM at scale, so that
+    join is left to AQE, which still broadcasts when the measured size
+    is small."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -46,7 +51,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -382,8 +387,11 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue of lineitems whose quantity is below 20% of their part's
     average. The correlated `(SELECT avg(..) WHERE same part)` becomes
     a per-part aggregate joined back — the decorrelation Catalyst
-    would do for the subquery form, written explicitly; the per-part
-    dim joins broadcast. Threshold compares exact integer cents."""
+    would do for the subquery form, written explicitly. No broadcast
+    hint on the per-part aggregate: it has one row per part, which
+    scales with the fact side (20 M rows at TPC-H sf100); AQE
+    broadcasts it when the measured size allows. Threshold compares
+    exact integer cents."""
     li = load_table(spark, sf_dir, "lineitem")
     qty_c = _cents(F.col("l_quantity"))
     per_part = li.groupBy("l_partkey").agg(
@@ -391,7 +399,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     return (
-        li.join(F.broadcast(per_part), "l_partkey")
+        li.join(per_part, "l_partkey")
         .filter(qty_c * F.col("n") * 5 < F.col("sum_qty_c"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),

@@ -144,7 +144,17 @@ class CheckpointManager:
         }
         if self.keep_snapshots > 0 and old_id:
             retired = os.path.join(self._stage_dir(name), "snapshots", old_id)
-            if os.path.isdir(data_dir):
+            if os.path.isdir(data_dir) and os.path.isdir(retired):
+                # crash recovery: a prior run retired data/ into
+                # snapshots/<old_id>, re-published a new data/, but died
+                # before committing its manifest. That data/ is an
+                # uncommitted publish no manifest row references —
+                # discard it; the genuine <old_id> content already
+                # lives under snapshots/.
+                shutil.rmtree(data_dir)
+                if all(h["snapshot_id"] != old_id for h in history):
+                    history = history + [old_entry]
+            elif os.path.isdir(data_dir):
                 os.makedirs(os.path.dirname(retired), exist_ok=True)
                 os.replace(data_dir, retired)
                 history = history + [old_entry]
@@ -204,23 +214,36 @@ class CheckpointManager:
 
     def _collect_zone_maps(self, data_dir: str, cols: list[str]) -> dict:
         """Per-file min/max for the zone-map columns — Iceberg's
-        manifest column stats, emulated. One scan at write time; a real
-        writer gets these free from the parquet footers. For stages
+        manifest column stats, emulated. Read straight from the parquet
+        footers (driver-side metadata only, no second table scan), and
+        keyed by path RELATIVE to the stage data dir so a relocated or
+        copied checkpoint directory keeps pruning correctly. For stages
         written with ``range_partition`` + ``sort_within`` the zones
         are non-overlapping, so point/range reads prune to O(1) files."""
-        df = self.spark.read.parquet(data_dir).withColumn(
-            "__file", F.input_file_name()
-        )
-        aggs = []
-        for c in cols:
-            aggs.append(F.min(c).alias(f"__mn_{c}"))
-            aggs.append(F.max(c).alias(f"__mx_{c}"))
-        stats = df.groupBy("__file").agg(*aggs).collect()
+        import pyarrow.parquet as pq
+
         out: dict[str, dict[str, list]] = {c: {} for c in cols}
-        for r in stats:
-            fname = r["__file"].replace("file://", "")
+        for fname in sorted(os.listdir(data_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(data_dir, fname))
+            names = list(md.schema.names)
             for c in cols:
-                out[c][fname] = [r[f"__mn_{c}"], r[f"__mx_{c}"]]
+                idx = names.index(c)
+                mn = mx = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        # a row group without stats makes the file
+                        # un-prunable for this column
+                        mn = mx = None
+                        break
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        lo, hi = lo.decode(), hi.decode()
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
+                out[c][fname] = [mn, mx]
         return out
 
     def snapshots(self, name: str) -> list[dict]:
@@ -268,9 +291,14 @@ class CheckpointManager:
         if zm is None:
             return self.spark.read.parquet(data_dir).filter(pred)
         files = [
-            f
+            # manifests written before round 4 stored absolute paths;
+            # relative entries (current format) survive a relocated
+            # checkpoint dir
+            f if os.path.isabs(f) else os.path.join(data_dir, f)
             for f, (mn, mx) in zm.items()
-            if mn is not None and mx is not None and not (mx < lo or mn > hi)
+            # no stats → can't prune, keep the file; the row filter
+            # still applies
+            if mn is None or mx is None or not (mx < lo or mn > hi)
         ]
         if not files:
             return self.spark.read.parquet(data_dir).filter(pred).limit(0)

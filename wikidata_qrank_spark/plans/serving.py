@@ -28,6 +28,32 @@ _CONTENT_TYPES = {
     ".txt": "text/plain",
 }
 
+# Landing page (reference: HandleMain, cmd/webserver/main.go:57-99 —
+# same structural elements: project title, pointer to the README/design
+# docs, the dateless /download/ alias, conditional-request hint, CC0
+# dedication; text is our own).
+_INDEX_HTML = """\
+<html>
+<head><title>Wikidata QRank</title></head>
+<body>
+<h1>Wikidata QRank</h1>
+<p>QRank ranks Wikidata entities by aggregated page views across
+Wikimedia projects. See the README and technical design document in the
+source repository for background.</p>
+<p>Download the latest data at <a href="/download/qrank.csv.gz">
+/download/qrank.csv.gz</a>. The file is updated periodically; use
+conditional requests (If-None-Match with the returned ETag) to check
+for updates.</p>
+<p>The QRank data is dedicated to the Public Domain via Creative
+Commons Zero 1.0.</p>
+</body></html>
+"""
+
+# Reference: HandleRobotsTxt (cmd/webserver/main.go:146-150) — a
+# constant allow-all robots.txt, because the fronting proxy would
+# otherwise inject a deny-all response.
+_ROBOTS_TXT = "User-Agent: *\nAllow: /\n"
+
 _PREFLIGHT_HEADERS = {
     "Allow": "GET, HEAD, OPTIONS",
     "Access-Control-Allow-Methods": "GET, HEAD, OPTIONS",
@@ -92,15 +118,34 @@ class ArtifactServer:
 
     def handle(
         self, method: str, path: str, headers: dict[str, str] | None = None
-    ) -> tuple[int, dict[str, str], str | None]:
-        """(status, response_headers, body_file_path|None)."""
+    ) -> tuple[int, dict[str, str], str | bytes | None]:
+        """(status, response_headers, body).
+
+        ``body`` is a filesystem path for artifact downloads (streamed
+        by the transport), inline ``bytes`` for the generated pages
+        (index, robots.txt), or None."""
         headers = {k.lower(): v for k, v in (headers or {}).items()}
         if method == "OPTIONS":
             return 204, dict(_PREFLIGHT_HEADERS), None
         if method not in ("GET", "HEAD"):
             return 405, {"Allow": "GET, HEAD, OPTIONS"}, None
+        if path == "/robots.txt":
+            body = _ROBOTS_TXT.encode()
+            hdrs = {
+                "Content-Type": "text/plain",
+                "Content-Length": str(len(body)),
+            }
+            return 200, hdrs, None if method == "HEAD" else body
         if not path.startswith("/download/"):
-            return 404, {}, None
+            # the reference registers HandleMain on "/" — Go's catch-all
+            # pattern — so every non-download, non-robots path serves
+            # the landing page (main.go:43,57)
+            body = _INDEX_HTML.encode()
+            hdrs = {
+                "Content-Type": "text/html; charset=utf-8",
+                "Content-Length": str(len(body)),
+            }
+            return 200, hdrs, None if method == "HEAD" else body
         name = path[len("/download/") :]
         entry = self._files.get(name)
         if entry is None:
@@ -160,6 +205,8 @@ def wsgi_app(server: ArtifactServer):
         status, hdrs, body_path = server.handle(method, path, headers)
         hdrs = dict(hdrs)
         body = [b""]
+        if isinstance(body_path, bytes):
+            body, body_path = [body_path], None
         if body_path is not None:
             hdrs["Content-Length"] = str(os.path.getsize(body_path))
             f = open(body_path, "rb")
