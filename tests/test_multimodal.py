@@ -128,3 +128,39 @@ def test_media_ahash_properties(spark):
 
     assert rows["1"] == ahash("img_alpha.jpg")
     assert rows["3"] == ahash("other_clip.ogg")
+
+
+def test_real_pil_decode_when_available(spark):
+    """With PIL installed the decode dispatcher takes the real path for
+    genuinely decodable payloads (the synthetic gate payloads always
+    fall back to the stand-in, keeping mm_* hashes PIL-invariant).
+    Skipped in this sandbox (no PIL)."""
+    import pytest
+
+    from wikidata_qrank_spark.operators import multimodal as mm
+
+    if mm._PILImage is None:
+        pytest.skip("PIL not installed in this environment")
+
+    import io
+
+    import numpy as np
+
+    img = mm._PILImage.new("L", (16, 16), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    feat = mm._decode(buf.getvalue())
+    assert feat.shape == (mm.FEATURE_DIM,)
+    assert np.allclose(feat, 128 / 255.0)
+
+
+def test_decode_dispatcher_falls_back_on_text_payload():
+    """Synthetic payloads (utf-8 media refs) are not decodable images:
+    with or without PIL, _decode must equal the deterministic stand-in,
+    which is what keeps the mm_* gate hashes environment-invariant."""
+    import numpy as np
+
+    from wikidata_qrank_spark.operators import multimodal as mm
+
+    payload = "File:Station_plan.svg".encode()
+    assert np.array_equal(mm._decode(payload), mm._fake_decode(payload))

@@ -237,6 +237,18 @@ def jaccard_prefix_pairs(
     stays the right choice when a sketch-level recall bound suffices).
     """
     sh = _shingles(documents, text_col, n)
+    cand = jaccard_prefix_candidates(sh, threshold)
+    return jaccard_verify_candidates(
+        documents, cand, text_col=text_col, n=n, threshold=threshold, shingles=sh
+    )
+
+
+def jaccard_prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """The candidate stage of :func:`jaccard_prefix_pairs`, exposed so
+    its selectivity is testable/benchable on its own: (doc_a, doc_b)
+    pairs surviving the prefix + PPJoin length filters, a provably
+    lossless superset of the ≥ threshold pairs. ``sh`` is the
+    (doc_id, shingle) frame from ``_shingles``."""
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
     ranked = sh.join(freq, "shingle")
     per_doc = ranked.groupBy("doc_id").agg(
@@ -265,7 +277,7 @@ def jaccard_prefix_pairs(
     # bound). On real corpora this prunes most candidates a hot prefix
     # token would otherwise generate across very different doc sizes.
     t_eps = F.lit(float(threshold) - 1e-6)
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -277,9 +289,6 @@ def jaccard_prefix_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-    )
-    return jaccard_verify_candidates(
-        documents, cand, text_col=text_col, n=n, threshold=threshold, shingles=sh
     )
 
 

@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-The container has no image/audio libraries, so the *decode* kernels are
-stubbed behind a deterministic fake (clearly marked); everything
-Spark-side — schema, Arrow batch shape, partitioning, UDF signatures —
-is real and tested. A production deployment swaps `_fake_decode` for
-PIL/ffmpeg inside the same mapInPandas kernel.
+The decode kernels are gated on an optional PIL import: environments
+with codecs decode/resize real images inside the same mapInPandas
+kernels, while payloads PIL can't parse (including every synthetic gate
+payload — utf-8 text bytes) fall back to a deterministic stand-in
+(clearly marked), so the mm_* gate hashes are identical with and
+without PIL. Everything Spark-side — schema, Arrow batch shape,
+partitioning, UDF signatures — is real and tested either way.
 
 Media payloads are derived from media spans: payload bytes = the
 media_ref utf-8 encoded (deterministic stand-in for real file bytes),
@@ -58,6 +60,38 @@ def media_table(spans_df: DataFrame) -> DataFrame:
     )
 
 
+try:  # optional real codec: sandbox has no PIL, production may
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
+
+def _pil_decode(payload: bytes) -> np.ndarray:
+    """Real image decode (only reachable when PIL is installed):
+    grayscale → FEATURE_DIM×1 resize → normalized float64 vector, the
+    same feature contract as the stand-in."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((FEATURE_DIM, 1))
+    return np.asarray(img, dtype=np.float64).reshape(FEATURE_DIM) / 255.0
+
+
+def _decode(payload: bytes) -> np.ndarray:
+    """Decode dispatcher: with PIL installed, genuinely decodable
+    payloads take the real path; anything PIL rejects (including every
+    synthetic gate payload, which is utf-8 text bytes) falls back to
+    the deterministic stand-in — so the mm_* gate hashes are identical
+    with and without PIL in the environment."""
+    if not payload:
+        raise ValueError("empty media payload")
+    if _PILImage is not None:
+        try:
+            return _pil_decode(payload)
+        except Exception:
+            pass
+    return _fake_decode(payload)
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """STUB — deterministic fake for the image/audio decoder.
 
@@ -88,7 +122,7 @@ def extract_features(media_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             feats, oks = [], []
             for payload in pdf["payload"]:
                 try:
-                    feats.append(_fake_decode(bytes(payload)).tolist())
+                    feats.append(_decode(bytes(payload)).tolist())
                     oks.append(True)
                 except (ValueError, TypeError):
                     feats.append([0.0] * FEATURE_DIM)
@@ -128,14 +162,32 @@ RESIZED_SCHEMA = (
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """STUB — deterministic fake for the image resize kernel (no PIL in
-    this container; production swaps in Image.open → resize → tobytes
-    inside the same mapInPandas kernel). Derives a byte payload of
-    length min(len, width+height) so downstream size accounting is
-    exercised; raises on empty payload like a real decoder."""
+    """STUB — deterministic fake for the image resize kernel. Derives a
+    byte payload of length min(len, width+height) so downstream size
+    accounting is exercised; raises on empty payload like a real
+    decoder."""
     if not payload:
         raise ValueError("empty media payload")
     return payload[: max(1, min(len(payload), width + height))]
+
+
+def _resize(payload: bytes, width: int, height: int) -> bytes:
+    """Resize dispatcher, same gating contract as :func:`_decode`: PIL
+    path for genuinely decodable payloads when PIL is installed,
+    deterministic stand-in otherwise — gate hashes are PIL-invariant."""
+    if not payload:
+        raise ValueError("empty media payload")
+    if _PILImage is not None:
+        import io
+
+        try:
+            img = _PILImage.open(io.BytesIO(payload))
+        except Exception:
+            return _fake_resize(payload, width, height)
+        buf = io.BytesIO()
+        img.resize((width, height)).save(buf, format=img.format or "PNG")
+        return buf.getvalue()
+    return _fake_resize(payload, width, height)
 
 
 def resize_media(media_df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
@@ -150,7 +202,7 @@ def resize_media(media_df: DataFrame, width: int = 64, height: int = 64) -> Data
             out_payload, oks = [], []
             for payload in pdf["payload"]:
                 try:
-                    out_payload.append(_fake_resize(bytes(payload), width, height))
+                    out_payload.append(_resize(bytes(payload), width, height))
                     oks.append(True)
                 except (ValueError, TypeError):
                     out_payload.append(bytes(payload) if payload is not None else b"")

@@ -34,9 +34,27 @@ def corpus_prep(
     min_quality: float = 0.5,
     rates_permille: dict[str, int] | None = None,
     default_permille: int = 100,
+    documents: DataFrame | None = None,
+    hash_family: str = "md5",
+    reuse_text: bool = True,
 ) -> DataFrame:
     """(doc_id, predicted_lang, quality, ws_tokens) for the documents
-    that survive the full prep pipeline."""
+    that survive the full prep pipeline.
+
+    ``documents`` overrides the table read (benchmarking on a
+    replicated corpus); ``hash_family`` picks the minhash kernel
+    (md5 = oracle-portable, xxhash64 = scale path).
+
+    ``reuse_text`` (default, the measured winner — BENCH.md round 4
+    A/B) checkpoints the KB-scale victim doc_id list and persists the
+    injected corpus, so the LSH→verify→CC sketch work runs ONCE and the
+    text read is served from the columnar cache for the curation and
+    token-accounting stages. With ``reuse_text=False`` the plan is
+    fully lazy: the victim lineage is embedded in both consumers, which
+    re-derives the text map-side per stage (~4 linear corpus passes) —
+    the right call only where caching 100 TB is impossible AND the
+    victim list can't be materialized (it is KB-scale, so it always
+    can; kept for the A/B)."""
     from ..operators.clusters import dup_clusters_scaled
     from ..operators.dedup import inject_near_dups
     from ..operators.sampling import stratified_sample
@@ -45,9 +63,17 @@ def corpus_prep(
 
     rates = rates_permille if rates_permille is not None else {"en": 500, "zh": 250}
 
-    corpus = inject_near_dups(load_table(spark, sf_dir, "documents"))
-    comp = dup_clusters_scaled(corpus, threshold=threshold, hash_family="md5")
+    if documents is None:
+        documents = load_table(spark, sf_dir, "documents")
+    corpus = inject_near_dups(documents)
+    if reuse_text:
+        corpus = corpus.persist()
+    comp = dup_clusters_scaled(corpus, threshold=threshold, hash_family=hash_family)
     victims = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    if reuse_text:
+        # KB-scale id list: cut the LSH/CC lineage here so neither
+        # downstream consumer re-runs the sketch stages
+        victims = victims.localCheckpoint(eager=True)
     survivors = corpus.join(victims, "doc_id", "left_anti")
 
     curated = curate_corpus(survivors, min_quality=min_quality)
