@@ -97,3 +97,64 @@ def merge_aggregate_state(
         .groupBy(*keys)
         .agg(*[F.sum(c).cast("long").alias(c) for c in measures])
     )
+
+
+def gap_fill(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket_hours: int = 1,
+) -> DataFrame:
+    """(event_type, bucket_h, n_events, value_c, value_c_locf) — dense
+    time-series per event type: every ``bucket_hours``-wide bucket
+    between the type's first and last event exists in the output, empty
+    buckets carry n_events=0 / value_c NULL, and value_c_locf fills
+    gaps with the last observed value (TimescaleDB's time_bucket_gapfill
+    + locf()).
+
+    Scale shape: one raw aggregation shuffle, then the dense axis is
+    generated from the per-type [min, max] bounds — sequence() on the
+    KB-scale bounds table, NEVER a generate-then-join over raw events —
+    and one window per type for the carry-forward. The dense-bucket
+    row count is (time span / bucket), independent of event volume."""
+    # long integer division (not double floor-divide): epoch micros are
+    # non-negative, so div == floor division, exactly
+    b = F.expr(
+        f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) div "
+        f"{bucket_hours * 3_600_000_000} AS BIGINT)"
+    )
+    agg = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            b.alias("bucket_h"),
+            F.floor(F.col(value_col) * 100 + 0.5).cast("long").alias("value_c"),
+        )
+        .groupBy("event_type", "bucket_h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value_c").cast("long").alias("value_c"),
+        )
+    )
+    dense = (
+        agg.groupBy("event_type")
+        .agg(F.min("bucket_h").alias("lo"), F.max("bucket_h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("bucket_h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(agg, ["event_type", "bucket_h"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)).cast("long"))
+        .withColumn(
+            "value_c_locf", F.last("value_c", ignorenulls=True).over(w)
+        )
+    )

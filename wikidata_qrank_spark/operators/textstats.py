@@ -422,3 +422,66 @@ def winnow_match_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def repetition_scores(
+    documents: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, n_grams, n_distinct, rep_ratio) — intra-document
+    repetition signal (the C4/Gopher 'repeated n-gram fraction'
+    cleaning rule): rep_ratio = 1 − distinct/total over the doc's
+    word n-grams; 0 for docs shorter than n tokens.
+
+    Entirely map-side array expressions (no explode, no shuffle): at
+    100 TB this is a projection fused into whatever scan already reads
+    the text."""
+    toks = _tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return documents.select(
+        "doc_id",
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct"),
+        F.when(total > 0, round6(1 - distinct / total))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+
+
+def lm_buckets(
+    documents: DataFrame,
+    text_col: str = "text",
+    lo_q: float = 1.0 / 3,
+    hi_q: float = 2.0 / 3,
+) -> DataFrame:
+    """(doc_id, avg_logp, bucket) — CCNet's perplexity bucketing on top
+    of :func:`lm_quality`: 'head' = best-scoring third of the corpus
+    (avg bigram log-prob ≥ the hi_q quantile), 'tail' = worst third,
+    'middle' between. The thresholds are one 2-value corpus aggregate
+    broadcast into a map-side CASE — no per-doc shuffle beyond
+    lm_quality's own."""
+    scored = lm_quality(documents, text_col).select("doc_id", "avg_logp")
+    cuts = scored.agg(
+        F.percentile("avg_logp", F.lit(lo_q)).alias("__lo"),
+        F.percentile("avg_logp", F.lit(hi_q)).alias("__hi"),
+    )
+    return (
+        scored.join(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "avg_logp",
+            F.when(F.col("avg_logp") >= F.col("__hi"), F.lit("head"))
+            .when(F.col("avg_logp") < F.col("__lo"), F.lit("tail"))
+            .otherwise(F.lit("middle"))
+            .alias("bucket"),
+        )
+    )

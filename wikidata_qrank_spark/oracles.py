@@ -1883,3 +1883,121 @@ SELECT s.*, COALESCE(p.rank, 0.0) AS pagerank
 FROM ({ORACLES["kg_item_signals"]}) s
 LEFT JOIN ({ORACLES["kg_pagerank"]}) p ON s.item_id = p.node
 """
+
+# ---- round-4 additions -------------------------------------------------
+
+# IVM invariant: merge(agg(base), agg(delta)) == agg(base ∪ delta); the
+# oracle aggregates the whole corpus directly, so hash equality proves
+# the incremental KG path absorbs a batch without re-reading history.
+ORACLES["kg_qviews_incremental"] = ORACLES["kg_qviews"]
+
+ORACLES["kg_snapshot_diff"] = kg_sql(
+    """
+, edges_a AS (
+  SELECT 'Q' || CAST(item_id AS VARCHAR) AS subj,
+         'links_to' AS pred,
+         'Q' || CAST(next_id AS VARCHAR) AS obj,
+         CAST(count(*) AS BIGINT) AS weight_a
+  FROM (
+    SELECT item_id,
+           lead(item_id) OVER (PARTITION BY doc_id ORDER BY "offset") AS next_id
+    FROM tmentions WHERE CAST(doc_id AS BIGINT) % 5 != 0
+  )
+  WHERE next_id IS NOT NULL AND next_id <> item_id
+  GROUP BY 1, 2, 3
+),
+edges_b AS (
+  SELECT 'Q' || CAST(item_id AS VARCHAR) AS subj,
+         'links_to' AS pred,
+         'Q' || CAST(next_id AS VARCHAR) AS obj,
+         CAST(count(*) AS BIGINT) AS weight_b
+  FROM (
+    SELECT item_id,
+           lead(item_id) OVER (PARTITION BY doc_id ORDER BY "offset") AS next_id
+    FROM tmentions WHERE CAST(doc_id AS BIGINT) % 5 != 1
+  )
+  WHERE next_id IS NOT NULL AND next_id <> item_id
+  GROUP BY 1, 2, 3
+)
+SELECT coalesce(a.subj, b.subj) AS subj,
+       coalesce(a.pred, b.pred) AS pred,
+       coalesce(a.obj, b.obj) AS obj,
+       a.weight_a, b.weight_b,
+       CASE WHEN a.weight_a IS NULL THEN 'added'
+            WHEN b.weight_b IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM edges_a a
+FULL OUTER JOIN edges_b b
+  ON a.subj = b.subj AND a.pred = b.pred AND a.obj = b.obj
+WHERE a.weight_a IS NULL OR b.weight_b IS NULL OR a.weight_a <> b.weight_b
+"""
+)
+
+ORACLES["ev_gap_fill"] = """
+WITH agg AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS bucket_h,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+  FROM events
+  GROUP BY event_type, bucket_h
+),
+bounds AS (
+  SELECT event_type, min(bucket_h) AS lo, max(bucket_h) AS hi
+  FROM agg GROUP BY event_type
+),
+dense AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS bucket_h FROM bounds
+)
+SELECT d.event_type,
+       CAST(d.bucket_h AS BIGINT) AS bucket_h,
+       CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+       a.value_c,
+       last_value(a.value_c IGNORE NULLS) OVER (
+         PARTITION BY d.event_type ORDER BY d.bucket_h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_c_locf
+FROM dense d LEFT JOIN agg a
+  ON d.event_type = a.event_type AND d.bucket_h = a.bucket_h
+"""
+
+ORACLES["td_repetition"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= 3
+              THEN list_transform(generate_series(1, len(l) - 2),
+                                  i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN floor((1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams))
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS rep_ratio
+FROM g
+"""
+
+# CCNet-style perplexity bucketing composed over the full td_lm_score
+# oracle (nested with its own WITH); quantile_cont ≡ Spark percentile
+# bit-for-bit on the shared round6 score values.
+ORACLES["td_ccnet_buckets"] = f"""
+WITH scored AS (
+  SELECT doc_id, avg_logp FROM ({ORACLES["td_lm_score"]}) s
+),
+cuts AS (
+  SELECT quantile_cont(avg_logp, 1.0/3) AS lo,
+         quantile_cont(avg_logp, 2.0/3) AS hi
+  FROM scored
+)
+SELECT doc_id, avg_logp,
+       CASE WHEN avg_logp >= hi THEN 'head'
+            WHEN avg_logp < lo THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM scored, cuts
+"""
