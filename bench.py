@@ -486,12 +486,14 @@ def scaling_dedup_mode() -> None:
 
 
 def ab_capstone_mode() -> None:
-    """A/B for the corpus-prep capstone's text-reuse strategy (round-4
-    judge item #2): same replicated vocab-disjoint corpus, same session,
-    reuse_text=False (fully lazy — victim lineage embedded in both
-    consumers, text re-derived per stage) vs reuse_text=True (victim
-    id-list localCheckpoint + persisted text read). Min-of-2 each,
-    interleaved order to cancel warmup drift. The winner is the
+    """A/B/C for the corpus-prep capstone's materialization strategy
+    (round-4 judge item #2): same replicated marker-preserving corpus,
+    same session — 'lazy' (victim lineage embedded in both consumers,
+    sketch stages run twice, text re-derived per stage) vs
+    'checkpoint_ids' (KB-scale victim id-list localCheckpoint, single
+    sketch pass, text still re-scanned from parquet) vs 'cache_text'
+    (checkpoint_ids + persist() of the injected corpus). Min-of-2
+    each, interleaved order to cancel warmup drift. The winner is the
     corpus_prep default; the td_pipeline oracle is strategy-blind."""
     import shutil
     import time as _time
@@ -518,37 +520,37 @@ def ab_capstone_mode() -> None:
     try:
         corpus = spark.read.parquet(corpus_dir)
 
-        def run(reuse: bool) -> float:
+        def run(strategy: str):
             t0 = _time.perf_counter()
             df = corpus_prep(
                 spark,
                 SF_DIR,
                 documents=corpus,
                 hash_family="xxhash64",
-                reuse_text=reuse,
+                strategy=strategy,
             )
             n = df.count()
             wall = _time.perf_counter() - t0
             spark.catalog.clearCache()
             return wall, n
 
-        run(True)  # warm JVM/readers once, result discarded
-        walls = {True: [], False: []}
+        strategies = ("lazy", "checkpoint_ids", "cache_text")
+        run("checkpoint_ids")  # warm JVM/readers once, result discarded
+        walls = {s: [] for s in strategies}
         n_out = None
         for _ in range(2):
-            for reuse in (False, True):
-                w, n_out = run(reuse)
-                walls[reuse].append(round(w, 3))
+            for s in strategies:
+                w, n_out = run(s)
+                walls[s].append(round(w, 3))
+        best = {s: min(w) for s, w in walls.items()}
         result = {
             "metric": "capstone_text_reuse_ab",
             "unit": "sec",
             "docs": docs,
             "rows_out": n_out,
-            "wall_recompute_sec": min(walls[False]),
-            "wall_reuse_sec": min(walls[True]),
-            "all_walls_recompute": walls[False],
-            "all_walls_reuse": walls[True],
-            "speedup_reuse": round(min(walls[False]) / min(walls[True]), 3),
+            "wall_sec": best,
+            "all_walls": walls,
+            "winner": min(best, key=best.get),
             "replication": repl,
             "cpus": CPUS,
         }

@@ -226,3 +226,20 @@ def test_corpus_prep_composition_invariants(spark):
     }
     kept = {r.doc_id for r in out}
     assert kept.isdisjoint(victims)
+
+
+def test_corpus_prep_strategies_equivalent(spark):
+    """The three materialization strategies (lazy / checkpoint_ids /
+    cache_text) are performance choices only — identical output."""
+    from tests.conftest import SF_SMOKE
+    from wikidata_qrank_spark.plans.training_data import corpus_prep
+
+    results = {}
+    for s in ("lazy", "checkpoint_ids", "cache_text"):
+        results[s] = {
+            tuple(r)
+            for r in corpus_prep(spark, SF_SMOKE, strategy=s).collect()
+        }
+        spark.catalog.clearCache()
+    assert results["lazy"] == results["checkpoint_ids"] == results["cache_text"]
+    assert len(results["lazy"]) > 0

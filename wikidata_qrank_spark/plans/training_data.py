@@ -36,7 +36,7 @@ def corpus_prep(
     default_permille: int = 100,
     documents: DataFrame | None = None,
     hash_family: str = "md5",
-    reuse_text: bool = True,
+    strategy: str = "checkpoint_ids",
 ) -> DataFrame:
     """(doc_id, predicted_lang, quality, ws_tokens) for the documents
     that survive the full prep pipeline.
@@ -45,16 +45,22 @@ def corpus_prep(
     replicated corpus); ``hash_family`` picks the minhash kernel
     (md5 = oracle-portable, xxhash64 = scale path).
 
-    ``reuse_text`` (default, the measured winner — BENCH.md round 4
-    A/B) checkpoints the KB-scale victim doc_id list and persists the
-    injected corpus, so the LSH→verify→CC sketch work runs ONCE and the
-    text read is served from the columnar cache for the curation and
-    token-accounting stages. With ``reuse_text=False`` the plan is
-    fully lazy: the victim lineage is embedded in both consumers, which
-    re-derives the text map-side per stage (~4 linear corpus passes) —
-    the right call only where caching 100 TB is impossible AND the
-    victim list can't be materialized (it is KB-scale, so it always
-    can; kept for the A/B)."""
+    ``strategy`` — how much intermediate state to materialize (A/B'd at
+    500k docs, BENCH.md round 4; all three produce identical results
+    and the oracle is strategy-blind):
+
+    * ``'checkpoint_ids'`` (default): localCheckpoint the KB-scale
+      victim doc_id list only. The LSH→verify→CC sketch work runs
+      ONCE; document text is re-read map-side from columnar parquet by
+      the curation and token-accounting stages — re-scanning is cheap,
+      re-sketching is not.
+    * ``'lazy'``: fully lazy plan; the victim lineage is embedded in
+      both consumers, so the sketch stages run twice and the text ~4
+      linear passes.
+    * ``'cache_text'``: checkpoint_ids + persist() the injected corpus.
+      Measured 2.4x SLOWER than lazy at 500k docs — row-cache
+      materialization of full text costs more than every re-scan it
+      saves; kept as the documented anti-pattern measurement."""
     from ..operators.clusters import dup_clusters_scaled
     from ..operators.dedup import inject_near_dups
     from ..operators.sampling import stratified_sample
@@ -63,14 +69,16 @@ def corpus_prep(
 
     rates = rates_permille if rates_permille is not None else {"en": 500, "zh": 250}
 
+    if strategy not in ("checkpoint_ids", "lazy", "cache_text"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if documents is None:
         documents = load_table(spark, sf_dir, "documents")
     corpus = inject_near_dups(documents)
-    if reuse_text:
+    if strategy == "cache_text":
         corpus = corpus.persist()
     comp = dup_clusters_scaled(corpus, threshold=threshold, hash_family=hash_family)
     victims = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
-    if reuse_text:
+    if strategy != "lazy":
         # KB-scale id list: cut the LSH/CC lineage here so neither
         # downstream consumer re-runs the sketch stages
         victims = victims.localCheckpoint(eager=True)
