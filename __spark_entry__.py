@@ -958,6 +958,12 @@ _GATE_FIRST = (
     "ev_gap_fill",
     "td_repetition",
     "td_ccnet_buckets",
+    "an_q3_shipping",
+    "an_q4_priority",
+    "ev_anomaly_zscore",
+    "kg_two_hop",
+    "kg_pmi",
+    "kg_entity_components",
     # never driver-verified before round 4 (judge-verified via
     # scripts/check_oracle.py in round 3; see VERDICT.md "Next round" #1)
     "mm_media_features",
@@ -1025,6 +1031,48 @@ def _td_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.operators.textstats import lm_buckets
 
     return lm_buckets(_documents(spark, sf_dir))
+
+
+def _an_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import shipping_priority
+
+    return shipping_priority(spark, sf_dir)
+
+
+def _an_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import order_priority_exists
+
+    return order_priority_exists(spark, sf_dir)
+
+
+def _ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import event_anomalies
+
+    return event_anomalies(spark, sf_dir)
+
+
+def _kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.graph import two_hop_counts
+
+    g = build_graph(spark, sf_dir)
+    return two_hop_counts(g["triples"].select("src_id", "dst_id"))
+
+
+def _kg_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.graph import cooccurrence_pmi
+
+    g = build_graph(spark, sf_dir)
+    return cooccurrence_pmi(g["text_mentions"])
+
+
+def _kg_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.clusters import connected_components
+
+    g = build_graph(spark, sf_dir)
+    cc = connected_components(
+        g["triples"].select("src_id", "dst_id"), a_col="src_id", b_col="dst_id"
+    )
+    return cc.select(F.col("doc_id").alias("node"), "component")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1110,6 +1158,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_gap_fill"] = _ev_gap_fill
     out["td_repetition"] = _td_repetition
     out["td_ccnet_buckets"] = _td_ccnet_buckets
+    out["an_q3_shipping"] = _an_q3_shipping
+    out["an_q4_priority"] = _an_q4_priority
+    out["ev_anomaly_zscore"] = _ev_anomaly_zscore
+    out["kg_two_hop"] = _kg_two_hop
+    out["kg_pmi"] = _kg_pmi
+    out["kg_entity_components"] = _kg_entity_components
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

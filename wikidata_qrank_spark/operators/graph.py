@@ -203,3 +203,77 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def two_hop_counts(
+    edges: DataFrame, src: str = "src_id", dst: str = "dst_id"
+) -> DataFrame:
+    """(src_id, n_two_hop) — number of DISTINCT nodes reachable in
+    exactly two directed hops (excluding returning to the start).
+    One self-join on the hop key + a distinct-aggregate; at scale both
+    sides shuffle on the same mid-node key, so the join is
+    co-partitioned, and fan-out is bounded by Σ deg(mid)² over mid
+    nodes — the hub-squared term a degree-capped variant would
+    truncate (kept exact here; the triangles operator shows the
+    capped pattern)."""
+    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("m"))
+    e2 = edges.select(F.col(src).alias("m"), F.col(dst).alias("c"))
+    return (
+        e1.join(e2, "m")
+        .filter(F.col("a") != F.col("c"))
+        .groupBy(F.col("a").alias("src_id"))
+        .agg(F.countDistinct("c").cast("long").alias("n_two_hop"))
+    )
+
+
+def cooccurrence_pmi(
+    mentions_df: DataFrame, min_pairs: int = 2
+) -> DataFrame:
+    """(item_a, item_b, n_ab, pmi) — pointwise mutual information
+    between entities co-mentioned in the same document:
+    pmi = ln(n_ab · N / (n_a · n_b)), item_a < item_b, n_ab ≥
+    ``min_pairs``. The association-mining signal a KG uses to propose
+    candidate relations beyond adjacency.
+
+    Shape: distinct (doc, item) incidence → per-item doc frequency
+    (KB-scale dim) → same-doc pair join (work ∝ Σ mentions-per-doc²,
+    the classic market-basket bound) → one integer-product expression.
+    All products stay BIGINT, a single final division feeds ln(), so
+    both engines produce bit-identical doubles."""
+    from ..functions.precision import round6
+
+    inc = mentions_df.select("doc_id", "item_id").distinct()
+    n_docs = inc.select("doc_id").distinct().count()
+    df_dim = inc.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_item")
+    )
+    a = inc.select("doc_id", F.col("item_id").alias("item_a"))
+    b = inc.select("doc_id", F.col("item_id").alias("item_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    da = df_dim.select(
+        F.col("item_id").alias("item_a"), F.col("n_docs_item").alias("n_a")
+    )
+    db = df_dim.select(
+        F.col("item_id").alias("item_b"), F.col("n_docs_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(da), "item_a")
+        .join(F.broadcast(db), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            round6(
+                F.log(
+                    (F.col("n_ab") * F.lit(int(n_docs)))
+                    / (F.col("n_a") * F.col("n_b"))
+                )
+            ).alias("pmi"),
+        )
+    )

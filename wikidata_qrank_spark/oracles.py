@@ -2001,3 +2001,130 @@ SELECT doc_id, avg_logp,
             ELSE 'middle' END AS bucket
 FROM scored, cuts
 """
+
+ORACLES["an_q3_shipping"] = """
+SELECT l_orderkey,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_u
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'FURNITURE'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate_us, o_orderpriority
+ORDER BY revenue_u DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["an_q4_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+ORACLES["ev_anomaly_zscore"] = """
+WITH agg AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS bucket_h,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, bucket_h
+),
+mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM agg GROUP BY event_type
+)
+SELECT a.event_type,
+       CAST(a.bucket_h AS BIGINT) AS bucket_h,
+       a.n_events,
+       floor((a.n_events - s1 / nb)
+             / sqrt((s2 - s1 * s1 / nb) / (nb - 1)) * 1000000.0 + 0.5)
+         / 1000000.0 AS z,
+       abs((a.n_events - s1 / nb)
+           / sqrt((s2 - s1 * s1 / nb) / (nb - 1))) > 2.0 AS is_anomaly
+FROM agg a JOIN mom m ON a.event_type = m.event_type
+WHERE nb > 1
+"""
+
+ORACLES["kg_two_hop"] = kg_sql(
+    """
+, edges AS (
+  SELECT DISTINCT item_id AS src_id, next_id AS dst_id
+  FROM (
+    SELECT item_id,
+           lead(item_id) OVER (PARTITION BY doc_id ORDER BY "offset") AS next_id
+    FROM tmentions
+  )
+  WHERE next_id IS NOT NULL AND next_id <> item_id
+)
+SELECT e1.src_id AS src_id,
+       CAST(count(DISTINCT e2.dst_id) AS BIGINT) AS n_two_hop
+FROM edges e1 JOIN edges e2 ON e1.dst_id = e2.src_id
+WHERE e1.src_id <> e2.dst_id
+GROUP BY e1.src_id
+"""
+)
+
+ORACLES["kg_pmi"] = kg_sql(
+    """
+, inc AS (SELECT DISTINCT doc_id, item_id FROM tmentions),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM inc),
+dfi AS (
+  SELECT item_id, CAST(count(*) AS BIGINT) AS n_docs_item
+  FROM inc GROUP BY item_id
+),
+pairs AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING count(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.n_ab,
+       floor(ln((p.n_ab * nd.n) / (da.n_docs_item * db.n_docs_item))
+             * 1000000.0 + 0.5) / 1000000.0 AS pmi
+FROM pairs p
+JOIN dfi da ON p.item_a = da.item_id
+JOIN dfi db ON p.item_b = db.item_id
+CROSS JOIN nd
+"""
+)
+
+# components need WITH RECURSIVE at the head of the chain (same trick
+# as kg_bfs)
+ORACLES["kg_entity_components"] = kg_sql(
+    """
+, edges AS (
+  SELECT DISTINCT item_id AS src_id, next_id AS dst_id
+  FROM (
+    SELECT item_id,
+           lead(item_id) OVER (PARTITION BY doc_id ORDER BY "offset") AS next_id
+    FROM tmentions
+  )
+  WHERE next_id IS NOT NULL AND next_id <> item_id
+),
+sym AS (
+  SELECT src_id AS a, dst_id AS b FROM edges
+  UNION
+  SELECT dst_id, src_id FROM edges
+),
+reach AS (
+  SELECT a AS node, b AS r FROM sym
+  UNION
+  SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a
+)
+SELECT node, least(node, min(r)) AS component
+FROM reach GROUP BY node
+"""
+).replace("WITH tok AS", "WITH RECURSIVE tok AS")

@@ -491,3 +491,104 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.expr("percentile(value, 0.9)")).alias("p90"),
         round6(F.expr("percentile(value, 0.99)")).alias("p99"),
     )
+
+
+def shipping_priority(
+    spark: SparkSession, sf_dir: str, segment: str = "FURNITURE",
+    cut: str = "1998-01-01", k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 pattern: un-shipped high-revenue orders for one market
+    segment — three-way fact join with date filters pushed to the
+    scans, exact-cents revenue aggregate, deterministic top-k (revenue
+    desc, orderkey asc). Only the segment filter touches customer, so
+    AQE sees a shrunken build side; no hard broadcast hints (customer
+    and orders scale with SF)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == segment
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cut).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cut).cast("timestamp")
+    )
+    revenue_units = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue_units).cast("long").alias("revenue_u"))
+        .orderBy(F.desc("revenue_u"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def order_priority_exists(
+    spark: SparkSession, sf_dir: str, lo: str = "1997-01-01", hi: str = "1997-07-01"
+) -> DataFrame:
+    """TPC-H Q4 pattern (EXISTS subquery): orders in a date window that
+    have at least one late-shipping lineitem, counted per priority.
+    The correlated EXISTS is a LEFT SEMI join — no row multiplication,
+    the lineitem side never aggregates."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def event_anomalies(
+    spark: SparkSession, sf_dir: str, z_cut: float = 2.0
+) -> DataFrame:
+    """(event_type, bucket_h, n_events, z, is_anomaly) — z-score of
+    each hourly event count against its type's distribution. Moments
+    are computed from exact BIGINT sums (n, Σc, Σc²) rather than a
+    streaming stddev, so both engines derive bit-identical doubles:
+    var = (Σc² − (Σc)²/n) / (n−1). One aggregation shuffle + one
+    broadcast-joined 3-value dim per type."""
+    from wikidata_qrank_spark.functions.precision import round6
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000 AS BIGINT)").alias("bucket_h"),
+        )
+        .groupBy("event_type", "bucket_h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    mom = agg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("n_events").cast("long").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("s2"),
+    )
+    joined = agg.join(F.broadcast(mom), "event_type")
+    mean = F.col("s1") / F.col("nb")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return joined.filter(F.col("nb") > 1).select(
+        "event_type",
+        "bucket_h",
+        "n_events",
+        round6(z).alias("z"),
+        (F.abs(z) > z_cut).alias("is_anomaly"),
+    )
