@@ -118,9 +118,11 @@ def test_artifact_server_conditional_get(tmp_path):
     status, hdrs6, _ = srv.handle("PUT", "/download/qrank-20240301.csv")
     assert status == 405 and hdrs6["Allow"] == "GET, HEAD, OPTIONS"
 
-    # unknown artifact / wrong prefix → 404
+    # unknown artifact → 404; non-download paths hit the Go-style "/"
+    # catch-all and serve the landing page (main.go:43,57)
     assert srv.handle("GET", "/download/nope.csv")[0] == 404
-    assert srv.handle("GET", "/qrank-20240301.csv")[0] == 404
+    status, hdrs, body = srv.handle("GET", "/qrank-20240301.csv")
+    assert status == 200 and b"Wikidata QRank" in body
 
 
 def test_artifact_server_reload_picks_up_new_version(tmp_path):
