@@ -243,7 +243,10 @@ def cooccurrence_pmi(
     from ..functions.precision import round6
 
     inc = mentions_df.select("doc_id", "item_id").distinct()
-    n_docs = inc.select("doc_id").distinct().count()
+    # corpus size enters as a broadcast 1-row aggregate INSIDE the lazy
+    # plan (the lm_buckets pattern) — a driver-side .count() here would
+    # execute the whole mentions lineage an extra time at call time
+    nd = inc.agg(F.countDistinct("doc_id").cast("long").alias("__n_docs"))
     df_dim = inc.groupBy("item_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_item")
     )
@@ -265,13 +268,14 @@ def cooccurrence_pmi(
     return (
         pairs.join(F.broadcast(da), "item_a")
         .join(F.broadcast(db), "item_b")
+        .join(F.broadcast(nd))
         .select(
             "item_a",
             "item_b",
             "n_ab",
             round6(
                 F.log(
-                    (F.col("n_ab") * F.lit(int(n_docs)))
+                    (F.col("n_ab") * F.col("__n_docs"))
                     / (F.col("n_a") * F.col("n_b"))
                 )
             ).alias("pmi"),

@@ -180,13 +180,17 @@ def _resize(payload: bytes, width: int, height: int) -> bytes:
     if _PILImage is not None:
         import io
 
+        # the whole PIL path is guarded: Image.open is lazy (header
+        # only), so truncated bodies surface later in resize()/save()
+        # — any failure falls back to the stand-in, preserving the
+        # kernel's corruption tolerance
         try:
             img = _PILImage.open(io.BytesIO(payload))
+            buf = io.BytesIO()
+            img.resize((width, height)).save(buf, format=img.format or "PNG")
+            return buf.getvalue()
         except Exception:
             return _fake_resize(payload, width, height)
-        buf = io.BytesIO()
-        img.resize((width, height)).save(buf, format=img.format or "PNG")
-        return buf.getvalue()
     return _fake_resize(payload, width, height)
 
 

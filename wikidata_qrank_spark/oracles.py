@@ -2048,11 +2048,14 @@ mom AS (
 SELECT a.event_type,
        CAST(a.bucket_h AS BIGINT) AS bucket_h,
        a.n_events,
-       floor((a.n_events - s1 / nb)
-             / sqrt((s2 - s1 * s1 / nb) / (nb - 1)) * 1000000.0 + 0.5)
-         / 1000000.0 AS z,
-       abs((a.n_events - s1 / nb)
-           / sqrt((s2 - s1 * s1 / nb) / (nb - 1))) > 2.0 AS is_anomaly
+       floor(CASE WHEN (s2 - s1 * s1 / nb) / (nb - 1) > 0
+                  THEN (a.n_events - s1 / nb)
+                       / sqrt((s2 - s1 * s1 / nb) / (nb - 1))
+                  ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS z,
+       abs(CASE WHEN (s2 - s1 * s1 / nb) / (nb - 1) > 0
+                THEN (a.n_events - s1 / nb)
+                     / sqrt((s2 - s1 * s1 / nb) / (nb - 1))
+                ELSE 0.0 END) > 2.0 AS is_anomaly
 FROM agg a JOIN mom m ON a.event_type = m.event_type
 WHERE nb > 1
 """

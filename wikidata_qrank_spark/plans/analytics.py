@@ -584,7 +584,13 @@ def event_anomalies(
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nb")) / (
         F.col("nb") - 1
     )
-    z = (F.col("n_events") - mean) / F.sqrt(var)
+    # zero variance (a perfectly flat series) has no defined z: emit
+    # 0/false explicitly — 0.0/0.0 is NaN in Spark but NULL in DuckDB,
+    # and Spark sorts NaN above every number so abs(z)>cut would flag
+    # every flat bucket anomalous
+    z = F.when(var > 0, (F.col("n_events") - mean) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
     return joined.filter(F.col("nb") > 1).select(
         "event_type",
         "bucket_h",

@@ -288,7 +288,10 @@ class CheckpointManager:
         manifest = self._read_manifest(name) or {}
         zm = (manifest.get("zone_maps") or {}).get(col)
         pred = (F.col(col) >= lo) & (F.col(col) <= hi)
-        if zm is None:
+        # no zone map — or an EMPTY one (footer collection found no
+        # flat parquet files, e.g. a nested layout): fall back to the
+        # full filtered scan rather than silently pruning to nothing
+        if not zm:
             return self.spark.read.parquet(data_dir).filter(pred)
         files = [
             # manifests written before round 4 stored absolute paths;

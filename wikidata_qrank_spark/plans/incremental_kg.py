@@ -107,7 +107,11 @@ def kg_qviews_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_table(spark, sf_dir, "documents")
     d = dictionary(documents)
-    cdict = canonical_dictionary(d, redirects(d))
+    # persist: the dictionary subtree feeds TWO mention joins (base +
+    # delta) — unpersisted, Catalyst replicates the corpus scan +
+    # rank window + redirect joins per broadcast use (see
+    # pipeline.py's identical rationale)
+    cdict = canonical_dictionary(d, redirects(d)).persist()
     return qviews_incremental(
         documents, cdict, F.col("doc_id") % 10 == 0
     )
@@ -124,7 +128,8 @@ def kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_table(spark, sf_dir, "documents")
     d = dictionary(documents)
-    cdict = canonical_dictionary(d, redirects(d))
+    # persist for the same two-consumer reason as kg_qviews_incremental
+    cdict = canonical_dictionary(d, redirects(d)).persist()
     return triples_snapshot_diff(
         documents,
         cdict,

@@ -34,6 +34,10 @@ def zipf_documents(
     ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
     weights = 1.0 / np.power(ranks, s)
     cdf = np.cumsum(weights) / weights.sum()
+    # cumsum (sequential) vs sum (pairwise) can leave cdf[-1] one ulp
+    # below 1.0, letting a draw land past it and emit an
+    # out-of-vocabulary rank; pin the tail exactly
+    cdf[-1] = 1.0
     rng = np.random.default_rng(seed)
     u = rng.random(n_docs * doc_len)
     tok_ranks = np.searchsorted(cdf, u, side="right") + 1
