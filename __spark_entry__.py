@@ -964,6 +964,8 @@ _GATE_FIRST = (
     "kg_two_hop",
     "kg_pmi",
     "kg_entity_components",
+    "an_q5_local_supplier",
+    "td_lang_stats",
     # never driver-verified before round 4 (judge-verified via
     # scripts/check_oracle.py in round 3; see VERDICT.md "Next round" #1)
     "mm_media_features",
@@ -1075,6 +1077,18 @@ def _kg_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("doc_id").alias("node"), "component")
 
 
+def _an_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import local_supplier_volume
+
+    return local_supplier_volume(spark, sf_dir)
+
+
+def _td_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.textstats import language_token_stats
+
+    return language_token_stats(_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _PIPELINE_KEYS:
@@ -1164,6 +1178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_two_hop"] = _kg_two_hop
     out["kg_pmi"] = _kg_pmi
     out["kg_entity_components"] = _kg_entity_components
+    out["an_q5_local_supplier"] = _an_q5_local_supplier
+    out["td_lang_stats"] = _td_lang_stats
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

@@ -120,3 +120,46 @@ def test_rollup_cascade_levels_consistent(spark):
     assert totals["hour"] == totals["day"] == totals["week"]
     n_raw = ev.count()
     assert totals["hour"][0] == n_raw
+
+
+def test_range_join_exact_past_2_53(spark):
+    """Regression for the advisor's round-3 finding: bucket_of used
+    double division, which loses exactness above 2^53 and could drop a
+    boundary match. The long floor-division form must pair points and
+    intervals exactly at magnitudes where doubles round — including
+    negative values (floor, not truncate-toward-zero)."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.operators.rangejoin import range_join
+
+    big = 1 << 60
+    # points sit exactly on interval boundaries at ±2^60; double
+    # division by 7 rounds these, long div must not
+    pts = [
+        (1, big + 1, 1),
+        (1, big + 7, 2),
+        (1, -big - 1, 3),
+        (1, -big - 7, 4),
+    ]
+    ivs = [
+        (1, big + 1, big + 7, 10),      # both points are boundary hits
+        (1, -big - 7, -big - 1, 11),    # negative-side boundaries
+        (1, big + 8, big + 100, 12),    # adjacent, must NOT match
+    ]
+    points = spark.createDataFrame(pts, "k long, p long, pid long")
+    intervals = spark.createDataFrame(ivs, "k long, s long, e long, iid long")
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            points, intervals, on="k", point_col="p", start_col="s",
+            end_col="e", bucket=7,
+        ).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.join(intervals, ["k"])
+        .filter((F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")))
+        .collect()
+    }
+    assert got == naive
+    assert got == {(1, 10), (2, 10), (3, 11), (4, 11)}

@@ -177,3 +177,41 @@ def test_streaming_session_windows_match_batch_sessionize(spark, tmp_path):
         assert got[k][0] == n
         # same round6 rule both sides; tolerance covers sum-order ulps
         assert abs(got[k][1] - tv) <= 1e-6, k
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Stream dedup parity: a corpus with injected duplicate event_ids
+    fed through dropDuplicatesWithinWatermark (append sink) keeps
+    exactly one row per key — the same KEY SET as batch dropDuplicates.
+    (Which physical duplicate survives is arrival-order-dependent in
+    both engines, so the invariant checked is the deduped key set +
+    per-key row count, not row identity.)"""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.streaming.events import streaming_dedup
+
+    events = load_table(spark, SF_SMOKE, "events").limit(500)
+    # duplicate every 5th event (same event_id, same ts — a redelivery)
+    dupes = events.filter(F.col("event_id") % 5 == 0)
+    corpus = events.unionByName(dupes)
+    src = str(tmp_path / "dedup_src")
+    corpus.coalesce(2).write.parquet(src)
+
+    batch_keys = {
+        r.event_id
+        for r in spark.read.parquet(src).dropDuplicates(["event_id"]).collect()
+    }
+
+    q = (
+        streaming_dedup(spark, src, schema=events.schema)
+        .writeStream.format("memory")
+        .queryName("ev_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM ev_dedup").collect()
+    got = [r.event_id for r in rows]
+    assert set(got) == batch_keys
+    assert len(got) == len(set(got))  # every key exactly once

@@ -485,3 +485,23 @@ def lm_buckets(
             .alias("bucket"),
         )
     )
+
+
+def language_token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(lang, n_docs, median_tokens, p90_tokens, mean_tokens) — the
+    per-language corpus profile a mixture-weighting step consumes
+    (which languages are long-form, where the token budget goes).
+    Token counts are map-side; one groupBy(lang) with exact-sort
+    percentiles (Spark percentile ≡ DuckDB quantile_cont bit-for-bit)
+    and a mean from BIGINT sums."""
+    toks = F.size(_tokens(text_col)).cast("long")
+    return (
+        documents.select("lang", toks.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            round6(F.percentile("n_tokens", F.lit(0.5))).alias("median_tokens"),
+            round6(F.percentile("n_tokens", F.lit(0.9))).alias("p90_tokens"),
+            round6(F.sum("n_tokens") / F.count(F.lit(1))).alias("mean_tokens"),
+        )
+    )

@@ -2131,3 +2131,35 @@ SELECT node, least(node, min(r)) AS component
 FROM reach GROUP BY node
 """
 ).replace("WITH tok AS", "WITH RECURSIVE tok AS")
+
+ORACLES["an_q5_local_supplier"] = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_u
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+ORACLES["td_lang_stats"] = """
+WITH t AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor(quantile_cont(n_tokens, 0.5) * 1000000.0 + 0.5) / 1000000.0
+         AS median_tokens,
+       floor(quantile_cont(n_tokens, 0.9) * 1000000.0 + 0.5) / 1000000.0
+         AS p90_tokens,
+       floor(CAST(sum(n_tokens) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_tokens
+FROM t GROUP BY lang
+"""

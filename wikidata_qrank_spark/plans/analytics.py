@@ -598,3 +598,42 @@ def event_anomalies(
         round6(z).alias("z"),
         (F.abs(z) > z_cut).alias("is_anomaly"),
     )
+
+
+def local_supplier_volume(
+    spark: SparkSession, sf_dir: str, region: str = "EUROPE",
+    lo: str = "1996-01-01", hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q5 pattern: revenue where the supplier and the ordering
+    customer share a nation, per nation of one region. Six-way join:
+    the two fixed dims (nation ⋈ region, ≤25 rows) broadcast; customer
+    / orders / lineitem / supplier are all SF-scaling and shuffle on
+    their keys. The same-nation constraint lands as an equi-join
+    condition (c_nationkey == s_nationkey), not a post-filter, so it
+    prunes inside the join."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue_units = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue_units).cast("long").alias("revenue_u"))
+    )

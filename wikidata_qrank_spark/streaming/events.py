@@ -197,3 +197,31 @@ def streaming_event_counts(
             "total_value",
         )
     )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+):
+    """Watermarked streaming deduplication: the first arrival of each
+    key within the watermark horizon survives, later duplicates are
+    dropped, and — unlike plain ``dropDuplicates`` on a stream — state
+    for keys older than the watermark is EVICTED, so state size is
+    bounded by the horizon's key cardinality instead of the stream's
+    full history (the property that makes stream dedup viable on an
+    unbounded 100 TB feed). Spark's
+    ``dropDuplicatesWithinWatermark`` supplies the operator; this
+    wires the file source + event-time watermark around it."""
+    keys = key_cols or ["event_id"]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parquet_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
