@@ -185,7 +185,10 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     exactly one row per key — the same KEY SET as batch dropDuplicates.
     (Which physical duplicate survives is arrival-order-dependent in
     both engines, so the invariant checked is the deduped key set +
-    per-key row count, not row identity.)"""
+    per-key row count, not row identity. All files land in ONE
+    microbatch — with per-file batches the watermark from whichever
+    part-file happens to be processed first could drop rows of the
+    other, making the test a write-task-timing coin flip.)"""
     from pyspark.sql import functions as F
 
     from wikidata_qrank_spark.streaming.events import streaming_dedup
@@ -210,7 +213,7 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     rows = spark.sql("SELECT event_id FROM ev_dedup").collect()
     got = [r.event_id for r in rows]
     assert set(got) == batch_keys

@@ -107,11 +107,13 @@ def kg_qviews_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_table(spark, sf_dir, "documents")
     d = dictionary(documents)
-    # persist: the dictionary subtree feeds TWO mention joins (base +
-    # delta) — unpersisted, Catalyst replicates the corpus scan +
-    # rank window + redirect joins per broadcast use (see
-    # pipeline.py's identical rationale)
-    cdict = canonical_dictionary(d, redirects(d)).persist()
+    # localCheckpoint: the dictionary subtree feeds TWO mention joins
+    # (base + delta) — without truncation Catalyst replicates the
+    # corpus scan + rank window + redirect joins per broadcast use
+    # (pipeline.py's rationale). localCheckpoint over persist: its
+    # blocks are freed by the ContextCleaner when the plan goes out of
+    # scope, so gate runs don't accumulate pinned cache entries.
+    cdict = canonical_dictionary(d, redirects(d)).localCheckpoint(eager=True)
     return qviews_incremental(
         documents, cdict, F.col("doc_id") % 10 == 0
     )
@@ -128,8 +130,8 @@ def kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = load_table(spark, sf_dir, "documents")
     d = dictionary(documents)
-    # persist for the same two-consumer reason as kg_qviews_incremental
-    cdict = canonical_dictionary(d, redirects(d)).persist()
+    # same two-consumer rationale as kg_qviews_incremental
+    cdict = canonical_dictionary(d, redirects(d)).localCheckpoint(eager=True)
     return triples_snapshot_diff(
         documents,
         cdict,

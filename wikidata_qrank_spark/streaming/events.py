@@ -205,6 +205,8 @@ def streaming_dedup(
     schema,
     key_cols: list[str] | None = None,
     watermark: str = "2 hours",
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
 ):
     """Watermarked streaming deduplication: the first arrival of each
     key within the watermark horizon survives, later duplicates are
@@ -214,14 +216,15 @@ def streaming_dedup(
     full history (the property that makes stream dedup viable on an
     unbounded 100 TB feed). Spark's
     ``dropDuplicatesWithinWatermark`` supplies the operator; this
-    wires the file source + event-time watermark around it."""
+    wires the file source + event-time watermark around it.
+    ``max_files_per_trigger`` is a test/replay knob (None lets the
+    source batch files normally — the production setting)."""
     keys = key_cols or ["event_id"]
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(parquet_dir)
-    )
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_dir)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
