@@ -127,3 +127,146 @@ def test_lm_buckets_partition_corpus(spark):
     n = len(rows)
     for b in by_bucket.values():
         assert n * 0.2 < len(b) < n * 0.5
+
+
+def test_ivm_law_fuzz_random_splits(spark):
+    """The IVM law under seeded random corpora AND random split
+    predicates: merge(agg(base), agg(delta)) == direct agg for any
+    partition of the corpus — not just the gate's doc_id % 10 split."""
+    import random
+
+    from wikidata_qrank_spark.operators.mentions import text_mentions
+    from wikidata_qrank_spark.operators.qrank import qviews
+    from wikidata_qrank_spark.plans.incremental_kg import qviews_incremental
+    from wikidata_qrank_spark.sources.interleaved import spans
+
+    rng = random.Random(20260817)
+    vocab = ["alpha", "beta", "gamma", "delta", "xx"]
+    cdict = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(vocab)], "title string, item_id long"
+    )
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(40)
+        ]
+        documents = spark.createDataFrame(docs, "doc_id long, text string")
+        mod = rng.choice([2, 3, 7])
+        direct = {
+            (r.item_id, r.views)
+            for r in qviews(text_mentions(spans(documents), cdict)).collect()
+        }
+        incr = {
+            (r.item_id, r.views)
+            for r in qviews_incremental(
+                documents, cdict, F.col("doc_id") % mod == 0
+            ).collect()
+        }
+        assert incr == direct, trial
+
+
+def test_snapshot_diff_apply_law_fuzz(spark):
+    """CDC soundness: B's weighted edge map == A's map patched by the
+    diff (add 'added', drop 'removed', overwrite 'changed') — for
+    seeded random corpora and random snapshot predicates."""
+    import random
+
+    from pyspark.sql import Window
+
+    from wikidata_qrank_spark.operators.mentions import text_mentions
+    from wikidata_qrank_spark.plans.incremental_kg import triples_snapshot_diff
+    from wikidata_qrank_spark.sources.interleaved import spans
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    cdict = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(vocab)], "title string, item_id long"
+    )
+
+    def weighted(documents, pred):
+        m = text_mentions(spans(documents.filter(pred)), cdict)
+        w = Window.partitionBy("doc_id").orderBy("offset")
+        rows = (
+            m.withColumn("__next", F.lead("item_id").over(w))
+            .filter(F.col("__next").isNotNull() & (F.col("__next") != F.col("item_id")))
+            .groupBy("item_id", "__next")
+            .count()
+            .collect()
+        )
+        return {(f"Q{r.item_id}", 'Q' + str(r["__next"])): r["count"] for r in rows}
+
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 10))))
+            for i in range(30)
+        ]
+        documents = spark.createDataFrame(docs, "doc_id long, text string")
+        ma, mb = rng.sample([2, 3, 5, 7], 2)
+        in_a, in_b = F.col("doc_id") % ma != 0, F.col("doc_id") % mb != 0
+        a_map = weighted(documents, in_a)
+        b_map = weighted(documents, in_b)
+        patched = dict(a_map)
+        for r in triples_snapshot_diff(documents, cdict, in_a, in_b).collect():
+            key = (r.subj, r.obj)
+            if r.change == "removed":
+                patched.pop(key)
+            else:  # added or changed
+                patched[key] = r.weight_b
+        assert patched == b_map, trial
+
+
+def test_gap_fill_law_fuzz(spark):
+    """Gap-fill laws on seeded random event sets: per type the bucket
+    axis is exactly [min..max] contiguous, observed buckets keep their
+    aggregates, empty buckets are zero-count with the LOCF value equal
+    to the nearest earlier observed bucket's sum."""
+    import random
+
+    from wikidata_qrank_spark.operators.rollup import gap_fill
+
+    rng = random.Random(7)
+    for trial in range(3):
+        rows = []
+        eid = 0
+        for t in ("a", "b"):
+            for _ in range(rng.randint(2, 12)):
+                eid += 1
+                hour = rng.randint(0, 40)
+                rows.append(
+                    (eid, f"2024-01-01 {0:02d}:00:00", t, rng.uniform(0, 20), hour)
+                )
+        ev = (
+            spark.createDataFrame(
+                rows, "event_id long, ts0 string, event_type string, value double, h long"
+            )
+            .withColumn(
+                "ts",
+                (F.col("ts0").cast("timestamp").cast("long") + F.col("h") * 3600)
+                .cast("timestamp"),
+            )
+            .drop("ts0", "h")
+        )
+        out = gap_fill(ev).collect()
+        by_type = {}
+        for r in out:
+            by_type.setdefault(r.event_type, []).append(r)
+        # reference: pandas-free dict aggregation
+        agg = {}
+        for r in ev.collect():
+            b = int(r.ts.timestamp() // 3600)
+            key = (r.event_type, b)
+            n, v = agg.get(key, (0, 0))
+            agg[key] = (n + 1, v + int(r.value * 100 + 0.5))
+        for t, rows_t in by_type.items():
+            rows_t.sort(key=lambda r: r.bucket_h)
+            buckets = [r.bucket_h for r in rows_t]
+            assert buckets == list(range(buckets[0], buckets[-1] + 1)), trial
+            last = None
+            for r in rows_t:
+                if (t, r.bucket_h) in agg:
+                    n, v = agg[(t, r.bucket_h)]
+                    assert (r.n_events, r.value_c) == (n, v), trial
+                    last = v
+                else:
+                    assert r.n_events == 0 and r.value_c is None, trial
+                assert r.value_c_locf == last, trial
