@@ -281,3 +281,36 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def reciprocity(edges: DataFrame, src: str = "src_id", dst: str = "dst_id") -> DataFrame:
+    """(node, n_out, n_reciprocal, reciprocity) — per-node fraction of
+    out-edges whose reverse edge also exists (mutual-link rate, a
+    standard directed-graph health metric; in the KG it separates
+    symmetric relations from one-way references). One left-semi
+    self-join on the reversed key + two counts; shuffles are
+    edge-keyed."""
+    from ..functions.precision import round6
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col(src) != F.col(dst)
+    ).distinct()
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mutual = e.join(rev, ["u", "v"], "left_semi")
+    out_d = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_out")
+    )
+    mut_d = mutual.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reciprocal")
+    )
+    return (
+        out_d.join(mut_d, "node", "left")
+        .select(
+            "node",
+            "n_out",
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long").alias("n_reciprocal"),
+            round6(
+                F.coalesce("n_reciprocal", F.lit(0)) / F.col("n_out")
+            ).alias("reciprocity"),
+        )
+    )

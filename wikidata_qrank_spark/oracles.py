@@ -2163,3 +2163,66 @@ SELECT lang,
          / 1000000.0 AS mean_tokens
 FROM t GROUP BY lang
 """
+
+ORACLES["an_q6_forecast"] = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_u
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.09
+  AND l_quantity < 24
+"""
+
+ORACLES["an_q14_promo"] = """
+WITH j AS (
+  SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS rev_u,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev_u ELSE 0 END)
+              AS BIGINT) AS promo_u,
+         CAST(sum(rev_u) AS BIGINT) AS total_u
+  FROM j
+)
+SELECT promo_u, total_u,
+       floor(100.0 * promo_u / total_u * 1000000.0 + 0.5) / 1000000.0
+         AS promo_pct
+FROM s
+"""
+
+ORACLES["kg_reciprocity"] = kg_sql(
+    """
+, edges AS (
+  SELECT DISTINCT item_id AS src_id, next_id AS dst_id
+  FROM (
+    SELECT item_id,
+           lead(item_id) OVER (PARTITION BY doc_id ORDER BY "offset") AS next_id
+    FROM tmentions
+  )
+  WHERE next_id IS NOT NULL AND next_id <> item_id
+),
+outd AS (
+  SELECT src_id AS node, CAST(count(*) AS BIGINT) AS n_out
+  FROM edges GROUP BY src_id
+),
+mut AS (
+  SELECT e.src_id AS node, CAST(count(*) AS BIGINT) AS n_reciprocal
+  FROM edges e
+  WHERE EXISTS (
+    SELECT 1 FROM edges r
+    WHERE r.src_id = e.dst_id AND r.dst_id = e.src_id
+  )
+  GROUP BY e.src_id
+)
+SELECT o.node, o.n_out,
+       CAST(coalesce(m.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+       floor(CAST(coalesce(m.n_reciprocal, 0) AS DOUBLE) / o.n_out
+             * 1000000.0 + 0.5) / 1000000.0 AS reciprocity
+FROM outd o LEFT JOIN mut m ON o.node = m.node
+"""
+)

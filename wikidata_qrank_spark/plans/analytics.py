@@ -637,3 +637,61 @@ def local_supplier_volume(
         .groupBy("n_name")
         .agg(F.sum(revenue_units).cast("long").alias("revenue_u"))
     )
+
+
+def forecast_revenue_change(
+    spark: SparkSession, sf_dir: str, lo: str = "1997-01-01", hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q6 pattern: pure filter-and-sum over the fact table — the
+    query whose entire cost is the scan, so the plan test is that
+    every predicate reaches the parquet reader and nothing shuffles
+    but one 1-row partial-agg exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue_units = _cents(F.col("l_extendedprice") * F.col("l_discount"), 10000)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(revenue_units).cast("long").alias("revenue_u"))
+    )
+
+
+def promo_revenue_share(
+    spark: SparkSession, sf_dir: str, lo: str = "1997-01-01", hi: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q14 pattern: share of revenue from promotional parts in a
+    window — conditional aggregation over one fact⋈dim join. The part
+    side scales with SF (no hard broadcast hint); the promo predicate
+    becomes a CASE inside the sum, so one pass computes both terms.
+    Integer-unit sums; ONE final division → round6 (bit-stable)."""
+    from ..functions.precision import round6
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    revenue_units = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue_units).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).cast("long").alias("promo_u"),
+            F.sum(revenue_units).cast("long").alias("total_u"),
+        )
+        .select(
+            "promo_u",
+            "total_u",
+            round6(F.lit(100.0) * F.col("promo_u") / F.col("total_u")).alias(
+                "promo_pct"
+            ),
+        )
+    )
