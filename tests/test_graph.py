@@ -72,3 +72,17 @@ def test_bfs_distances_hand_graph(spark):
     assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
     capped = {r.node: r.hops for r in bfs_distances(edges, source=1, max_hops=1).collect()}
     assert capped == {1: 0, 2: 1, 4: 1}
+
+
+def test_reciprocity_hand_graph(spark):
+    from wikidata_qrank_spark.operators.graph import reciprocity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 3)],  # self-loop dropped
+        "src_id long, dst_id long",
+    )
+    rows = {r.node: (r.n_out, r.n_reciprocal, r.reciprocity)
+            for r in reciprocity(edges).collect()}
+    assert rows[1] == (2, 1, 0.5)
+    assert rows[2] == (1, 1, 1.0)
+    assert 3 not in rows  # no out-edges after self-loop drop
