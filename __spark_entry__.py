@@ -1108,6 +1108,16 @@ def _kg_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocity(g["triples"].select("src_id", "dst_id"))
 
 
+def _ev_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.sketches import value_histogram
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    return value_histogram(
+        load_table(spark, sf_dir, "events"),
+        "value", lo=0.0, hi=400.0, n_bins=20, group_cols=["event_type"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _PIPELINE_KEYS:
@@ -1205,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["an_q6_forecast"] = _an_q6_forecast
     out["an_q14_promo"] = _an_q14_promo
     out["kg_reciprocity"] = _kg_reciprocity
+    out["ev_histogram"] = _ev_histogram
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

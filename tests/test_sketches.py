@@ -104,3 +104,62 @@ def test_kmv_exact_mode_small_sets(spark):
     assert r.union_est == 4.0
     assert r.jaccard_est == 0.5
     assert r.inter_est == 2.0
+
+
+def test_histogram_merge_law_and_quantile_accuracy(spark):
+    """The property that makes the histogram a SKETCH: partial
+    histograms over any split of the data merge by plain addition into
+    the whole-data histogram (mergeability = map-side combine works),
+    and the quantile it implies is within one bin width of the exact
+    percentile."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.operators.sketches import value_histogram
+
+    rng = random.Random(99)
+    rows = [(i, rng.choice("ab"), rng.uniform(0, 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    kw = dict(lo=0.0, hi=100.0, n_bins=25, group_cols=["g"])
+    bin_width = 4.0
+
+    whole = {
+        (r.g, r.bin): r.n for r in value_histogram(df, "v", **kw).collect()
+    }
+    merged: dict = {}
+    for mod in (0, 1, 2):
+        part = value_histogram(
+            df.filter(F.col("id") % 3 == mod), "v", **kw
+        ).collect()
+        for r in part:
+            merged[(r.g, r.bin)] = merged.get((r.g, r.bin), 0) + r.n
+    assert merged == whole
+
+    # quantile estimate from cum_n vs exact percentile: within one bin
+    hist = value_histogram(df, "v", **kw).collect()
+    exact = {
+        r.g: r.p50
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.lit(0.5)).alias("p50"))
+        .collect()
+    }
+    for g in ("a", "b"):
+        rows_g = sorted([r for r in hist if r.g == g], key=lambda r: r.bin)
+        total = rows_g[-1].cum_n
+        est = next(
+            r.bin_lo for r in rows_g if r.cum_n >= 0.5 * total
+        )
+        assert abs(est - exact[g]) <= bin_width, (g, est, exact[g])
+
+
+def test_histogram_clamps_out_of_range(spark):
+    from wikidata_qrank_spark.operators.sketches import value_histogram
+
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, 0.0), (3, 99.9), (4, 250.0)], "id long, v double"
+    )
+    rows = {r.bin: r.n for r in value_histogram(df, "v", 0.0, 100.0, 10).collect()}
+    assert rows[0] == 2      # -5.0 clamped into bin 0 with 0.0
+    assert rows[9] == 2      # 99.9 and the 250.0 overflow share bin 9
+    assert sum(rows.values()) == 4  # totals preserved

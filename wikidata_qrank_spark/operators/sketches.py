@@ -151,3 +151,52 @@ def kmv_overlap_pairs(
         round6(j_est).alias("jaccard_est"),
         round6(j_est * union_est).alias("inter_est"),
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., bin, bin_lo, n, cum_n) — fixed-bin histogram sketch
+    with cumulative counts, the bounded-state substitute for exact
+    percentiles at 100 TB: exact ``percentile`` must materialize and
+    sort every value per group, while this keeps ``n_bins`` longs per
+    group regardless of row count, merges across partitions/batches by
+    plain addition (map-side combine does it for free), and answers any
+    quantile to ±bin-width. Values outside [lo, hi) clamp into the edge
+    bins, so totals are preserved.
+
+    The bin expression is one shared double formula, so the DuckDB
+    oracle reproduces the exact bin of every value; counts are then
+    integers — the whole sketch is value-hash-stable."""
+    from pyspark.sql import Window
+
+    from ..functions.precision import round6
+
+    groups = group_cols or []
+    width = (hi - lo) / n_bins
+    raw_bin = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_id = F.least(
+        F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("long")
+    counts = (
+        df.select(*groups, bin_id.alias("bin"))
+        .groupBy(*groups, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counts.select(
+        *groups,
+        "bin",
+        round6(F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+        "n",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+    )

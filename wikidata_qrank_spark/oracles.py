@@ -2226,3 +2226,24 @@ SELECT o.node, o.n_out,
 FROM outd o LEFT JOIN mut m ON o.node = m.node
 """
 )
+
+ORACLES["ev_histogram"] = """
+WITH b AS (
+  SELECT event_type,
+         CAST(least(greatest(floor((value - 0.0) / 20.0), 0), 19) AS BIGINT)
+           AS bin
+  FROM events
+),
+c AS (
+  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY event_type, bin
+)
+SELECT event_type, bin,
+       floor((0.0 + bin * 20.0) * 1000000.0 + 0.5) / 1000000.0 AS bin_lo,
+       n,
+       CAST(sum(n) OVER (
+         PARTITION BY event_type ORDER BY bin
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_n
+FROM c
+"""
