@@ -1118,6 +1118,26 @@ def _ev_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _td_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor election over the injected near-dup
+    corpus: per cluster keep the LONGEST member (the superset document
+    — injection drops trailing tokens, so the original always wins),
+    tiebreak min doc_id."""
+    from wikidata_qrank_spark.operators.clusters import (
+        dup_clusters_scaled,
+        elect_survivors,
+    )
+    from wikidata_qrank_spark.operators.dedup import inject_near_dups
+
+    corpus = inject_near_dups(_documents(spark, sf_dir))
+    comp = dup_clusters_scaled(corpus, threshold=0.5, hash_family="md5")
+    lens = corpus.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return elect_survivors(comp, lens, score_col="n_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _PIPELINE_KEYS:
@@ -1216,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["an_q14_promo"] = _an_q14_promo
     out["kg_reciprocity"] = _kg_reciprocity
     out["ev_histogram"] = _ev_histogram
+    out["td_best_of_cluster"] = _td_best_of_cluster
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

@@ -124,3 +124,33 @@ def test_dup_clusters_scaled_matches_exact_kernel(spark):
         for r in dup_clusters_scaled(injected, threshold=0.5).collect()
     }
     assert (10_000_020, 20) in inj_cc
+
+
+def test_elect_survivors_prefers_score_then_id(spark):
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.operators.clusters import elect_survivors
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 2), (8, 2)], "doc_id long, s long"
+    )
+    rows = {r.component: (r.best_doc_id, r.best_s, r.cluster_size)
+            for r in elect_survivors(comp, scores, "s").collect()}
+    assert rows[1] == (2, 9, 3)   # max score, tie -> lower id
+    assert rows[7] == (7, 2, 2)
+
+
+def test_best_of_cluster_originals_beat_injected_copies(spark):
+    """Injection drops trailing tokens, so the original is the longest
+    member of every injected cluster — the election must never pick a
+    clipped copy (doc_id >= the injection offset)."""
+    import __spark_entry__ as e
+    from tests.conftest import SF_SMOKE
+
+    rows = e.queries()["td_best_of_cluster"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(r.best_doc_id < 10_000_000 for r in rows)

@@ -154,3 +154,37 @@ def dedup_by_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
         .select("doc_id")
     )
     return documents.join(victims, "doc_id", "left_anti")
+
+
+def elect_survivors(
+    components: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(component, best_doc_id, best_<score>, cluster_size) — survivor
+    election by QUALITY rather than min-id: for each near-dup cluster
+    keep the highest-scoring member (ties to the smallest id). This is
+    the curation policy real pipelines want — "of these near-dups,
+    keep the longest / highest-quality copy" — as opposed to the
+    reference's order-dependent first-wins. One window over
+    cluster-keyed rows; scores join on the id (KB-wide rows, no
+    text)."""
+    from pyspark.sql import Window
+
+    j = components.join(scores, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    wc = Window.partitionBy("component")
+    return (
+        j.withColumn("__rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "component",
+            F.col(id_col).alias("best_doc_id"),
+            F.col(score_col).alias(f"best_{score_col}"),
+            "cluster_size",
+        )
+    )

@@ -1219,6 +1219,32 @@ SELECT node AS doc_id, least(node, min(r)) AS component
 FROM reach GROUP BY node
 """
 
+# survivor election by token length over the same injected-corpus
+# closure: replace the component projection with an argmax window
+ORACLES["td_best_of_cluster"] = ORACLES["td_dup_clusters_lsh"].replace(
+    """SELECT node AS doc_id, least(node, min(r)) AS component
+FROM reach GROUP BY node""",
+    """, comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS component
+  FROM reach GROUP BY node
+),
+lens AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM toks
+),
+scored AS (
+  SELECT c.component, c.doc_id, t.n_tokens,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY t.n_tokens DESC, c.doc_id ASC) AS rk,
+         CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
+           AS cluster_size
+  FROM comp c JOIN lens t ON t.doc_id = c.doc_id
+)
+SELECT component, doc_id AS best_doc_id, n_tokens AS best_n_tokens,
+       cluster_size
+FROM scored WHERE rk = 1""",
+)
+
+
 # HyperLogLog with a PORTABLE hash (md5 → 60-bit int): both engines
 # derive the same registers, integer-exact register fold, so the
 # estimates agree to the last round6 digit. 49 = remainder bits + 1
