@@ -444,6 +444,19 @@ def _td_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap_coefficient_pairs(docs, n=3, threshold=0.9)
 
 
+def _td_containment_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pairs as td_containment, via the containment-adapted
+    prefix filter (smaller-side prefix vs full sets) instead of the
+    hot-shingle freq² self-join — the form that holds at 100×."""
+    from wikidata_qrank_spark.operators.dedup import (
+        containment_prefix_pairs,
+        inject_near_dups,
+    )
+
+    docs = inject_near_dups(_documents(spark, sf_dir))
+    return containment_prefix_pairs(docs, n=3, threshold=0.9)
+
+
 def _td_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS match stage: pairs sharing ≥4 winnowed fingerprints over
     the injected corpus (guaranteed-common-substring candidates)."""
@@ -1060,6 +1073,13 @@ def _kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_hop_counts(g["triples"].select("src_id", "dst_id"))
 
 
+def _kg_two_hop_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.operators.graph import two_hop_approx
+
+    g = build_graph(spark, sf_dir)
+    return two_hop_approx(g["triples"].select("src_id", "dst_id"))
+
+
 def _kg_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.operators.graph import cooccurrence_pmi
 
@@ -1173,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_hll_tokens"] = _td_hll_tokens
     out["td_jaccard_prefix"] = _td_jaccard_prefix
     out["td_containment"] = _td_containment
+    out["td_containment_scaled"] = _td_containment_scaled
     out["td_winnow_pairs"] = _td_winnow_pairs
     out["td_contamination"] = _td_contamination
     out["td_pii_scrub"] = _td_pii_scrub
@@ -1225,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["an_q4_priority"] = _an_q4_priority
     out["ev_anomaly_zscore"] = _ev_anomaly_zscore
     out["kg_two_hop"] = _kg_two_hop
+    out["kg_two_hop_approx"] = _kg_two_hop_approx
     out["kg_pmi"] = _kg_pmi
     out["kg_entity_components"] = _kg_entity_components
     out["an_q5_local_supplier"] = _an_q5_local_supplier

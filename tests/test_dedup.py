@@ -358,3 +358,76 @@ def test_zipf_documents_deterministic_and_zipfian(spark):
     # rare (many distinct tokens relative to corpus size)
     assert top["count"] > 100
     assert n_distinct > 400
+
+
+def test_containment_prefix_equals_naive_exact_join(spark):
+    """The containment-adapted prefix filter is LOSSLESS: same pairs
+    and values as the naive overlap-coefficient self-join, at several
+    thresholds, on a corpus with a true containment case (doc 20
+    quoted wholesale inside doc 21 — Jaccard-small, overlap 1.0)."""
+    from wikidata_qrank_spark.operators.dedup import (
+        containment_prefix_pairs,
+        overlap_coefficient_pairs,
+    )
+
+    small = " ".join(f"q{i}" for i in range(12))
+    big = " ".join(f"z{i}" for i in range(120)) + " " + small
+    docs = spark.createDataFrame(
+        list(DOCS) + [(20, small), (21, big)], "doc_id long, text string"
+    )
+    for t in (0.5, 0.8, 0.95):
+        naive = {
+            (r.doc_a, r.doc_b): r.overlap
+            for r in overlap_coefficient_pairs(docs, n=3, threshold=t).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): r.overlap
+            for r in containment_prefix_pairs(docs, n=3, threshold=t).collect()
+        }
+        assert pref == naive, f"threshold {t}"
+        if t <= 0.95:
+            assert (20, 21) in pref and pref[(20, 21)] == 1.0
+
+
+def test_containment_prefix_selectivity_on_zipf_vocab(spark):
+    """On a Zipfian vocabulary the smaller-side-prefix × full-set join
+    admits far fewer candidates than the naive share-any-shingle join
+    (hot shingles sit in ~no prefixes), while staying lossless."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.operators.dedup import (
+        _shingles,
+        containment_prefix_candidates,
+        containment_prefix_pairs,
+        overlap_coefficient_pairs,
+    )
+    from wikidata_qrank_spark.sources.synthetic import zipf_documents
+
+    docs = zipf_documents(spark, n_docs=800, vocab_size=5_000, doc_len=30)
+    sh = _shingles(docs, "text", 3)
+
+    a, b = sh.alias("a"), sh.alias("b")
+    naive_cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    prefix_cand = containment_prefix_candidates(sh, threshold=0.9).count()
+
+    assert naive_cand > 1000
+    assert prefix_cand < naive_cand * 0.10, (prefix_cand, naive_cand)
+
+    naive = {
+        (r.doc_a, r.doc_b): r.overlap
+        for r in overlap_coefficient_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.overlap
+        for r in containment_prefix_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    assert pref == naive

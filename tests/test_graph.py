@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from wikidata_qrank_spark.operators.graph import degrees, pagerank
 
 
@@ -86,3 +88,88 @@ def test_reciprocity_hand_graph(spark):
     assert rows[1] == (2, 1, 0.5)
     assert rows[2] == (1, 1, 1.0)
     assert 3 not in rows  # no out-edges after self-loop drop
+
+
+def test_two_hop_approx_accuracy_vs_exact(spark):
+    """On a random-ish graph at bucket_bits=12 the HLL estimate of
+    |two-hop set ∪ {possible self}| is within the sketch's error band
+    of the exact count for every source."""
+    from wikidata_qrank_spark.operators.graph import two_hop_approx, two_hop_counts
+
+    edges = spark.createDataFrame(
+        [(a, (a * 7 + k * 13) % 60) for a in range(60) for k in range(5)
+         if a != (a * 7 + k * 13) % 60],
+        "src_id long, dst_id long",
+    )
+    exact = {r.src_id: r.n_two_hop for r in two_hop_counts(edges).collect()}
+    # exact-with-self counterpart of the sketch's semantics
+    e1 = edges.selectExpr("src_id a", "dst_id m")
+    e2 = edges.selectExpr("src_id m", "dst_id c")
+    withself = {
+        r.a: r.n
+        for r in e1.join(e2, "m").groupBy("a").agg(
+            F.countDistinct("c").alias("n")).collect()
+    }
+    got = {r.src_id: r.n_two_hop_est for r in two_hop_approx(edges).collect()}
+    assert set(got) == set(exact)
+    for s, est in got.items():
+        truth = withself[s]
+        assert abs(est - truth) <= max(3.0, 0.1 * truth), (s, est, truth)
+
+
+def test_two_hop_approx_register_cap_on_hub(spark):
+    """Zipf/hub shape: a 400-out-degree hub. The exact self-join
+    materializes in-deg × out-deg = 400 × 400 = 160k rows through the
+    hub; the sketch path's per-mid register table is capped at
+    m = 2^bucket_bits rows per mid REGARDLESS of degree, so the edge
+    join fans out to at most |E| × m."""
+    from wikidata_qrank_spark.operators.graph import two_hop_approx
+    from wikidata_qrank_spark.operators.sketches import hll_registers
+
+    hub = 100000
+    fan = 400
+    rows = [(i, hub) for i in range(1, fan + 1)]
+    rows += [(hub, 1000 + j) for j in range(fan)]
+    edges = spark.createDataFrame(rows, "src_id long, dst_id long")
+
+    bits = 6  # m = 64 registers
+    e2 = edges.selectExpr("src_id m", "CAST(dst_id AS STRING) __c")
+    regs = hll_registers(e2, "__c", ["m"], bits)
+    per_mid = {r.m: r.n for r in regs.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per_mid[hub] <= 64  # 400 neighbors -> <= 64 register rows
+    # join fan-out through the hub: fan × m vs fan × fan for the exact
+    join_rows = edges.selectExpr("src_id a", "dst_id m").join(regs, "m").count()
+    assert join_rows <= len(rows) * 64
+    assert join_rows < fan * fan  # strictly below the hub-squared term
+
+    est = {r.src_id: r.n_two_hop_est for r in
+           two_hop_approx(edges, bucket_bits=12).collect()}
+    # each spoke reaches the hub's 400 out-neighbors
+    for i in (1, 2, 3):
+        assert abs(est[i] - fan) <= 0.1 * fan
+
+
+def test_pmi_does_not_broadcast_item_dim(spark):
+    """The per-item doc-frequency dim scales with the KB, so
+    cooccurrence_pmi must not hard-hint it broadcast: with the
+    auto-broadcast threshold off, the only broadcast left in the plan
+    is the hinted 1-row corpus-size aggregate (nested-loop join)."""
+    from wikidata_qrank_spark.operators.graph import cooccurrence_pmi
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        m = spark.createDataFrame(
+            [("d%d" % i, i % 7) for i in range(50)],
+            "doc_id string, item_id long",
+        )
+        plan = (
+            cooccurrence_pmi(m)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

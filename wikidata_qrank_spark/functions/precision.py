@@ -17,6 +17,18 @@ def round6(col):
     return F.floor(col * 1000000.0 + 0.5) / 1000000.0
 
 
+def floor_div(expr: str, divisor: int):
+    """Sign-corrected long floor division matching DuckDB's ``//``.
+
+    Spark's ``div`` truncates toward zero, so negative values (e.g.
+    pre-1970 epoch micros) land one bucket high; this corrects the
+    quotient when the remainder is negative, all in long arithmetic
+    (double division loses exactness above 2^53)."""
+    q = F.expr(f"({expr}) div {divisor}")
+    r = F.expr(f"({expr}) % {divisor}")
+    return F.when(r < 0, q - F.lit(1)).otherwise(q).cast("long")
+
+
 ROUND6_SQL = "floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
 
 

@@ -169,12 +169,14 @@ def elect_survivors(
     keep the longest / highest-quality copy" — as opposed to the
     reference's order-dependent first-wins. One window over
     cluster-keyed rows; scores join on the id (KB-wide rows, no
-    text)."""
+    text). Members missing from ``scores`` are kept via left join and
+    rank last (null score), so cluster_size never undercounts and a
+    fully unscored cluster still elects a survivor (smallest id)."""
     from pyspark.sql import Window
 
-    j = components.join(scores, id_col)
+    j = components.join(scores, id_col, "left")
     w = Window.partitionBy("component").orderBy(
-        F.desc(score_col), F.asc(id_col)
+        F.desc_nulls_last(score_col), F.asc(id_col)
     )
     wc = Window.partitionBy("component")
     return (

@@ -104,6 +104,31 @@ def _pair_intersections(
     return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
+def _candidate_intersections(sh: DataFrame, candidates: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) computed ONLY for the given
+    candidate pairs — the linear verification kernel shared by the
+    Jaccard and containment scale paths. Intermediate size = Σ_cand
+    |shingles(doc_a)|, independent of shingle popularity; shuffle keys
+    doc_a, then (doc_b, shingle). ``sh`` is the (doc_id, shingle)
+    frame from ``_shingles``."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    # defensive distinct: a duplicated candidate pair (e.g. a union of
+    # LSH and simhash candidate sources) would double-count every
+    # shared shingle and report similarity up to 2× the true value
+    cand = candidates.select("doc_a", "doc_b").distinct()
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     text_col: str = "text",
@@ -153,24 +178,8 @@ def jaccard_verify_candidates(
     Spark's ReuseExchange kick in instead of re-shingling the corpus.
     """
     sh = _shingles(documents, text_col, n) if shingles is None else shingles
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    # defensive distinct: a duplicated candidate pair (e.g. a union of
-    # LSH and simhash candidate sources) would double-count every
-    # shared shingle and report jaccard up to 2× the true value
-    cand = candidates.select("doc_a", "doc_b").distinct()
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _candidate_intersections(sh, candidates)
         .withColumn(
             "jaccard",
             round6(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))),
@@ -193,9 +202,10 @@ def overlap_coefficient_pairs(
     containment case Jaccard-based dedup structurally misses).
 
     Shares the exact intersection frame with ngram_jaccard_pairs
-    (_pair_intersections) — only the denominator differs; at scale
-    feed candidate pairs through jaccard_verify_candidates-style
-    counting and swap the denominator the same way.
+    (_pair_intersections) — only the denominator differs. This exact
+    self-join form is the small-corpus/oracle witness; the scale path
+    is :func:`containment_prefix_pairs` (same pairs, no hot-shingle
+    freq² term).
     """
     return (
         _pair_intersections(documents, text_col, n)
@@ -287,6 +297,102 @@ def jaccard_prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def containment_prefix_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(doc_a, doc_b, overlap) with overlap coefficient |A∩B| /
+    min(|A|,|B|) ≥ threshold — EXACTLY the pairs of
+    :func:`overlap_coefficient_pairs`, via a containment-adapted
+    prefix filter instead of its hot-shingle freq² self-join.
+
+    The prefix bound adapts to the min-size denominator: for a pair
+    (x, y) with |x| ≤ |y|, overlap ≥ t forces |A∩B| ≥ ⌈t·|x|⌉ — a
+    bound in the SMALLER side's size only. So the smaller side's
+    df-ordered prefix of length |x| − ⌈t·|x|⌉ + 1 must share a token
+    with y (same pigeonhole as Jaccard's prefix lemma), but — unlike
+    Jaccard, where t also lower-bounds |A∩B| in |y| — nothing shortens
+    the larger side: a 10-shingle doc fully quoted inside a 10 000-
+    shingle doc is a hit. Hence the candidate join is ASYMMETRIC:
+    prefixes of the smaller side against FULL shingle sets of
+    same-or-larger docs. No PPJoin length filter exists for
+    containment (any size ratio can qualify) — the size condition
+    only orients the pair.
+
+    Scale shape: per-shingle join fan-out is prefix-occurrences ×
+    full-occurrences, not freq². Prefixes hold each doc's RAREST
+    shingles (ascending df order), so hot shingles — the freq² killers
+    — sit in ~no prefixes and generate ~no candidates; verification is
+    the linear candidates-only kernel. Candidate count still exceeds
+    Jaccard's prefix×prefix join (the price of detecting containment
+    at all); the df ordering is what keeps it near-linear on Zipf
+    vocabularies (see the selectivity pytest).
+    """
+    sh = _shingles(documents, text_col, n)
+    cand = containment_prefix_candidates(sh, threshold)
+    return (
+        _candidate_intersections(sh, cand)
+        .withColumn(
+            "overlap",
+            round6(F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_a", "doc_b", "overlap")
+    )
+
+
+def containment_prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate stage of :func:`containment_prefix_pairs`, exposed for
+    selectivity tests: (doc_a, doc_b) pairs (doc_a < doc_b) where the
+    size-smaller doc's prefix shares a shingle with the other doc's
+    full set — a provably lossless superset of the overlap ≥ threshold
+    pairs. ``sh`` is the (doc_id, shingle) frame from ``_shingles``."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ranked = sh.join(freq, "shingle")
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("toks")
+    )
+    n_sh = F.size("toks")
+    # same downward epsilon as jaccard_prefix_candidates: never
+    # over-ceil (would shorten the prefix = lose pairs), and absorb the
+    # round6 boundary of the output filter; erring low only lengthens
+    # the prefix
+    alpha = F.ceil(n_sh * (F.lit(float(threshold)) - F.lit(1e-6)))
+    prefix_len = (n_sh - alpha + 1).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        n_sh.alias("n_sh"),
+        F.explode(F.slice("toks", 1, prefix_len)).alias("t"),
+    ).select("doc_id", "n_sh", F.col("t.shingle").alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    full = sh.join(sizes, "doc_id").select("doc_id", "n_sh", "shingle")
+    a = prefix.alias("a")
+    b = full.alias("b")
+    # orient: a is the smaller side (ties broken so each unordered pair
+    # is probed exactly once from its legitimate smaller end)
+    smaller = (F.col("a.n_sh") < F.col("b.n_sh")) | (
+        (F.col("a.n_sh") == F.col("b.n_sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & smaller,
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         )
         .distinct()
     )

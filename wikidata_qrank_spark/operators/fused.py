@@ -294,7 +294,7 @@ def item_signals_from_combined(combined: DataFrame, dict_df: DataFrame) -> DataF
     )
     return (
         sigs.withColumnRenamed("a", "item_id")
-        .join(F.broadcast(ident), "item_id", "left")
+        .join(ident, "item_id", "left")
         .select(
             "item_id",
             F.concat(F.lit("Q"), F.col("item_id")).alias("item"),

@@ -213,9 +213,10 @@ def two_hop_counts(
     One self-join on the hop key + a distinct-aggregate; at scale both
     sides shuffle on the same mid-node key, so the join is
     co-partitioned, and fan-out is bounded by Σ deg(mid)² over mid
-    nodes — the hub-squared term a degree-capped variant would
-    truncate (kept exact here; the triangles operator shows the
-    capped pattern)."""
+    nodes — the hub-squared term that makes this form an exact-answer
+    witness only; for power-law graphs at scale use
+    :func:`two_hop_approx`, whose per-mid register sketches cap the
+    fan-out at min(deg, 2^bucket_bits) per mid."""
     e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("m"))
     e2 = edges.select(F.col(src).alias("m"), F.col(dst).alias("c"))
     return (
@@ -224,6 +225,49 @@ def two_hop_counts(
         .groupBy(F.col("a").alias("src_id"))
         .agg(F.countDistinct("c").cast("long").alias("n_two_hop"))
     )
+
+
+def two_hop_approx(
+    edges: DataFrame,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """(src_id, n_buckets, n_nonzero, n_two_hop_est) — HLL-sketched
+    count of distinct two-hop-reachable nodes, the power-law-safe
+    counterpart of :func:`two_hop_counts`.
+
+    Why it scales where the exact form can't: the exact self-join
+    materializes Σ_m deg_in(m)·deg_out(m) rows — hub-squared on a
+    Zipf-degree graph, unbounded at 100×. Here each mid node m first
+    folds its out-neighbors into HLL registers (≤ 2^bucket_bits rows
+    per mid NO MATTER ITS DEGREE — a 1 M-degree hub contributes 4096
+    register rows, not 1 M neighbor rows), the a→m edge join picks up
+    register rows, and the per-src merge is a register-wise max
+    (sketch mergeability). Join fan-out is O(|E| · min(deg, m)),
+    i.e. capped, and every stage is a keyed partial aggregate.
+
+    Registers reuse :mod:`sketches`' portable md5 primitives, so the
+    DuckDB oracle derives bit-identical registers and the identical
+    estimate. Approximation semantics: standard error ~1.04/√m, and
+    unlike the exact form the start node itself is counted when it is
+    two-hop reachable (per-src exclusion can't be expressed inside a
+    mergeable sketch)."""
+    from .sketches import hll_estimate_from_registers, hll_registers
+
+    e2 = edges.select(
+        F.col(src).alias("m"), F.col(dst).cast("string").alias("__c")
+    )
+    regs_m = hll_registers(e2, "__c", ["m"], bucket_bits)
+    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("m"))
+    merged = (
+        e1.join(regs_m, "m")
+        .groupBy(F.col("a").alias("src_id"), F.col("__bucket"))
+        .agg(F.max("__mx").alias("__mx"))
+    )
+    return hll_estimate_from_registers(
+        merged, ["src_id"], bucket_bits
+    ).withColumnRenamed("hll_estimate", "n_two_hop_est")
 
 
 def cooccurrence_pmi(
@@ -265,9 +309,14 @@ def cooccurrence_pmi(
     db = df_dim.select(
         F.col("item_id").alias("item_b"), F.col("n_docs_item").alias("n_b")
     )
+    # NO broadcast hint on the per-item doc-frequency dim: it scales
+    # with the knowledge base (~100 M items at wiki scale — the same
+    # size class mentions.py guards with DictionaryTooLargeError), far
+    # past broadcast limits. AQE picks broadcast at test scale on its
+    # own; only the 1-row corpus-size aggregate keeps the hint.
     return (
-        pairs.join(F.broadcast(da), "item_a")
-        .join(F.broadcast(db), "item_b")
+        pairs.join(da, "item_a")
+        .join(db, "item_b")
         .join(F.broadcast(nd))
         .select(
             "item_a",

@@ -47,6 +47,9 @@ def resolve_redirects(
     edges (alias_id → target_id) to a fixpoint.
 
     Self-contained per round: left-join on the alias side, coalesce.
+    The redirect dim scales with the KB (millions of redirects per
+    large wiki), so no hard broadcast hint — AQE broadcasts per round
+    when the edge table actually fits.
     The round count defaults to the longest chain in the redirect table
     (computed on the dimension side — no wasted no-op corpus joins);
     pass ``max_iters`` to bound it explicitly, in which case longer
@@ -60,7 +63,7 @@ def resolve_redirects(
     out = df
     for _ in range(rounds):
         out = (
-            out.join(F.broadcast(edges), out[id_col] == edges["__alias"], "left")
+            out.join(edges, out[id_col] == edges["__alias"], "left")
             .withColumn(id_col, F.coalesce(F.col("__target"), F.col(id_col)))
             .drop("__alias", "__target")
         )

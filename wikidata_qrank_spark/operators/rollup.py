@@ -118,11 +118,13 @@ def gap_fill(
     KB-scale bounds table, NEVER a generate-then-join over raw events —
     and one window per type for the carry-forward. The dense-bucket
     row count is (time span / bucket), independent of event volume."""
-    # long integer division (not double floor-divide): epoch micros are
-    # non-negative, so div == floor division, exactly
-    b = F.expr(
-        f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) div "
-        f"{bucket_hours * 3_600_000_000} AS BIGINT)"
+    # sign-corrected long floor division (matches DuckDB's `//`), so
+    # pre-1970 timestamps land in the same bucket in both engines
+    from ..functions.precision import floor_div
+
+    b = floor_div(
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP))",
+        bucket_hours * 3_600_000_000,
     )
     agg = (
         events.select(

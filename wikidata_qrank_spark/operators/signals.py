@@ -87,7 +87,9 @@ def item_signals(
     )
 
     # distinct surface forms per item: a dimension-side aggregate over
-    # the (tiny) canonicalized dictionary — no corpus work at all
+    # the canonicalized dictionary — no corpus work at all. Item-keyed
+    # and KB-scale (~100 M items at wiki scale), so no broadcast hint:
+    # AQE picks the strategy from the aggregated size at runtime.
     ident = dict_df.groupBy("item_id").agg(
         F.countDistinct("title").cast("long").alias("identifiers")
     )
@@ -98,7 +100,7 @@ def item_signals(
 
     out = (
         text_sig.join(media_sig, "item_id", "full")
-        .join(F.broadcast(ident), "item_id", "left")
+        .join(ident, "item_id", "left")
         .select(
             F.col("item_id"),
             F.concat(F.lit("Q"), F.col("item_id")).alias("item"),

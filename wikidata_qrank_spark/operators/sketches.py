@@ -30,22 +30,19 @@ from ..functions.precision import round6
 HASH_BITS = 60  # 15 md5 hex chars — fits a signed long (hash60)
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame,
     value_col: str,
     group_cols: Sequence[str] = (),
     bucket_bits: int = 12,
 ) -> DataFrame:
-    """Per-group HLL estimate of distinct ``value_col`` values.
-
-    Returns (group_cols..., n_buckets, n_nonzero, hll_estimate). Uses
-    the classic Flajolet HLL estimator with the linear-counting
-    small-range correction. Standard error ≈ 1.04/√m (m = 2^bucket_bits,
-    default 4096 → ~1.6%).
-    """
-    m = 1 << bucket_bits
+    """(group_cols..., __bucket, __mx) — the non-zero HLL registers per
+    group. Registers are a MERGEABLE intermediate: union several
+    register frames and take ``max(__mx)`` per (group, bucket) to
+    sketch the union of the underlying sets — the property
+    ``two_hop_approx`` exploits to merge per-mid-node sketches across
+    an edge join without ever materializing neighbor pairs."""
     rem_bits = HASH_BITS - bucket_bits
-    alpha = 0.7213 / (1.0 + 1.079 / m)
 
     h = hash60(F.col(value_col))
     bucket = F.shiftrightunsigned(h, rem_bits)
@@ -57,11 +54,24 @@ def hll_distinct(
     )
 
     gcols = list(group_cols)
-    regs = (
+    return (
         df.select(*gcols, bucket.alias("__bucket"), rho.alias("__rho"))
         .groupBy(*gcols, "__bucket")
         .agg(F.max("__rho").alias("__mx"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: Sequence[str] = (),
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Fold (group..., __bucket, __mx) registers into the Flajolet
+    estimate — (group..., n_buckets, n_nonzero, hll_estimate)."""
+    m = 1 << bucket_bits
+    rem_bits = HASH_BITS - bucket_bits
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    gcols = list(group_cols)
     # exact-integer register fold: sum of 2^(rem_bits+1-mx), empty
     # buckets contribute 2^(rem_bits+1) each
     # pyspark's shiftleft() only takes a literal bit count — go through
@@ -87,6 +97,26 @@ def hll_distinct(
         F.lit(m).cast("long").alias("n_buckets"),
         "n_nonzero",
         round6(est).alias("hll_estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Per-group HLL estimate of distinct ``value_col`` values.
+
+    Returns (group_cols..., n_buckets, n_nonzero, hll_estimate). Uses
+    the classic Flajolet HLL estimator with the linear-counting
+    small-range correction. Standard error ≈ 1.04/√m (m = 2^bucket_bits,
+    default 4096 → ~1.6%).
+    """
+    return hll_estimate_from_registers(
+        hll_registers(df, value_col, group_cols, bucket_bits),
+        group_cols,
+        bucket_bits,
     )
 
 
@@ -177,6 +207,10 @@ def value_histogram(
 
     from ..functions.precision import round6
 
+    if hi <= lo:
+        raise ValueError(f"hi ({hi}) must be > lo ({lo})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     groups = group_cols or []
     width = (hi - lo) / n_bins
     raw_bin = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))

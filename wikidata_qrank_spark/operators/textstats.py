@@ -287,8 +287,9 @@ def tfidf_top_terms(
 
     Plan shape: one explode → per-(doc, term) count (partial agg), df
     per term on the aggregated table (terms ≪ tokens), idf joined back
-    BROADCAST (term dimension), per-doc top-k window. The corpus text
-    never shuffles — only (doc, term, tf) rows do."""
+    on the term key (AQE-chosen strategy — the vocab dim grows with
+    corpus, so no hard broadcast hint), per-doc top-k window. The
+    corpus text never shuffles — only (doc, term, tf) rows do."""
     from pyspark.sql import Window
 
     from ..functions.precision import round6
@@ -301,7 +302,10 @@ def tfidf_top_terms(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
+    # the per-term df dim scales with VOCABULARY (grows with corpus) —
+    # no hard broadcast hint; term-keyed shuffle join co-partitions
+    # with the tf aggregate, AQE broadcasts when it actually fits
+    scored = tf.join(df_, "term").withColumn(
         "score", round6(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
     )
     w = Window.partitionBy("doc_id").orderBy(

@@ -138,7 +138,10 @@ def qviews_monthly(
     from ..functions.normalize import item_to_id
     from .qrank import salted_sum
 
-    joined = monthly_pageviews.join(F.broadcast(sitelinks), "page_key").select(
+    # no hard broadcast hint: the production sitelinks dim is ~77 M
+    # rows (qrank.org design doc) — KB-scale, past broadcast limits.
+    # AQE broadcasts it at test scale on its own.
+    joined = monthly_pageviews.join(sitelinks, "page_key").select(
         item_to_id(F.col("item")).alias("item_id"), F.col("views")
     )
     return salted_sum(joined, ["item_id"], "views", "views")
@@ -213,8 +216,11 @@ def links_from_pagelinks(
     if pagelinks_a is not None:
         links = pagelinks_a.select("from_page", "namespace", "title")
     elif pagelinks_b is not None and linktarget is not None:
+        # linktarget scales with distinct link targets (~page count,
+        # tens of millions per large wiki) — no hard broadcast hint;
+        # AQE decides from runtime size
         links = pagelinks_b.join(
-            F.broadcast(linktarget.withColumnRenamed("lt_id", "target_id")),
+            linktarget.withColumnRenamed("lt_id", "target_id"),
             "target_id",
         ).select("from_page", "namespace", "title")
     else:

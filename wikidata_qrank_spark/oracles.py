@@ -1421,6 +1421,10 @@ WHERE floor(CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh)
             * 1000000.0 + 0.5) / 1000000.0 >= 0.9
 """
 
+# The prefix-filtered containment join is EXACT — provably the same
+# pairs/values as the naive form — so its oracle is the identical SQL.
+ORACLES["td_containment_scaled"] = ORACLES["td_containment"]
+
 # MOSS match stage over the injected corpus: pairs sharing >= 4
 # winnowed fingerprints (k=8, window=4 — same kernel as td_winnow_fps).
 ORACLES["td_winnow_pairs"] = """
@@ -2102,6 +2106,60 @@ SELECT e1.src_id AS src_id,
 FROM edges e1 JOIN edges e2 ON e1.dst_id = e2.src_id
 WHERE e1.src_id <> e2.dst_id
 GROUP BY e1.src_id
+"""
+)
+
+# HLL-sketched two-hop reachability: the oracle rebuilds the identical
+# portable md5 registers (same constants as td_hll_tokens: bucket = top
+# 12 of 60 hash bits, 2^48-1 remainder mask, rho ceiling 49) per mid
+# node, merges them across the edge join with max(), and applies the
+# same estimator — so the approximate value is bit-identical, not just
+# close.
+ORACLES["kg_two_hop_approx"] = kg_sql(
+    """
+, edges AS (
+  SELECT DISTINCT item_id AS src_id, next_id AS dst_id
+  FROM (
+    SELECT item_id,
+           lead(item_id) OVER (PARTITION BY doc_id ORDER BY "offset") AS next_id
+    FROM tmentions
+  )
+  WHERE next_id IS NOT NULL AND next_id <> item_id
+),
+regs_m AS (
+  SELECT m, h >> 48 AS bucket,
+         max(CASE WHEN (h & 281474976710655) = 0 THEN 49
+                  ELSE 49 - length(bin(h & 281474976710655)) END) AS mx
+  FROM (SELECT src_id AS m,
+               CAST('0x' || substr(md5(CAST(dst_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM edges)
+  GROUP BY 1, 2
+),
+merged AS (
+  SELECT e1.src_id AS src_id, r.bucket, max(r.mx) AS mx
+  FROM edges e1 JOIN regs_m r ON e1.dst_id = r.m
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT src_id,
+         sum(CAST(1 AS BIGINT) << (49 - mx)) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_nonzero
+  FROM merged GROUP BY src_id
+),
+est AS (
+  SELECT src_id, n_nonzero,
+         (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 * 562949953421312.0
+           / CAST(s_present + (4096 - n_nonzero) * (CAST(1 AS BIGINT) << 49)
+                  AS DOUBLE) AS raw,
+         4096 - n_nonzero AS zeros
+  FROM agg
+)
+SELECT src_id, CAST(4096 AS BIGINT) AS n_buckets, n_nonzero,
+       floor((CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                   THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END)
+             * 1000000.0 + 0.5) / 1000000.0 AS n_two_hop_est
+FROM est
 """
 )
 

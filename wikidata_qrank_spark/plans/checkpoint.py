@@ -240,7 +240,14 @@ class CheckpointManager:
                         break
                     lo, hi = st.min, st.max
                     if isinstance(lo, bytes):
-                        lo, hi = lo.decode(), hi.decode()
+                        try:
+                            lo, hi = lo.decode(), hi.decode()
+                        except UnicodeDecodeError:
+                            # non-UTF8 binary column: un-prunable for
+                            # this file rather than aborting the stage
+                            # publish after data/ is already written
+                            mn = mx = None
+                            break
                     mn = lo if mn is None else min(mn, lo)
                     mx = hi if mx is None else max(mx, hi)
                 out[c][fname] = [mn, mx]
