@@ -497,6 +497,31 @@ def _td_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_documents(spark, sf_dir), hash_family="md5")
 
 
+def _td_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: candidate pairs touching a new batch
+    computed against the persisted band table (history never
+    re-sketched; new×old probes history map-side via broadcast batch
+    bands). The oracle rebuilds the FULL corpus's LSH pairs and filters
+    to pairs touching the batch — hash equality proves
+    batch-vs-full-rebuild equivalence. Split: doc_id % 7 == 3 is the
+    new batch (injected dups shift mod 7 by 3, so near-dup pairs cross
+    the old/new boundary)."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        inject_near_dups,
+        minhash_band_table,
+    )
+
+    docs = inject_near_dups(_documents(spark, sf_dir))
+    is_new = F.col("doc_id") % 7 == 3
+    old_bands = minhash_band_table(docs.filter(~is_new), hash_family="md5")
+    return incremental_lsh_pairs(
+        old_bands, docs.filter(is_new), hash_family="md5"
+    )
+
+
 def _td_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-family band-key simhash — deterministic pigeonhole output,
     value-checked by the oracle (xxhash64 form stays pytest-covered)."""
@@ -956,64 +981,75 @@ def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver-gate rotation: the driver's correctness gate records only the
 # FIRST 50 entries of queries() (dict insertion order).  With >50
-# registered queries we rotate the order each round so every key gets a
-# driver-side green row at least every other round:
-#   round 3 gate covered registration keys 1..50 (kg_* .. td_ivf_ann);
-#   round 4 puts the 33 keys that round 3 missed (mm_*, ev_*, an_*,
-#   wiki_*) FIRST, plus any new round-4 keys, then the round-3-verified
-#   keys in their old order.
+# registered queries we rotate the order each round, prioritizing by
+# STALENESS, so every key gets a driver-side green row at least every
+# other round:
+#   round 3 window: registration keys 1..50 (kg_* .. td_ivf_ann);
+#   round 4 window: 13 new r4 keys + the 33 keys r3 missed + 4 classics;
+#   round 5 window (this list): the 3 new r5 keys, then the 5 keys
+#   registered beyond r4's full window (never driver-verified;
+#   judge-verified via scripts/check_oracle.py in r4), then the cohort
+#   whose last driver row is r3 — in registration order, so the 4 that
+#   overflow this 50-row window (td_embedding_near_dups*, td_lsh_ann,
+#   td_ivf_ann) plus the r4 cohort lead round 6.
 # Keys listed here are emitted first, in this order; anything not
 # listed follows in registration order.
 _GATE_FIRST = (
-    # new in round 4 (never verified anywhere before)
-    "kg_qviews_incremental",
-    "kg_snapshot_diff",
-    "ev_gap_fill",
-    "td_repetition",
-    "td_ccnet_buckets",
-    "an_q3_shipping",
-    "an_q4_priority",
-    "ev_anomaly_zscore",
-    "kg_two_hop",
-    "kg_pmi",
-    "kg_entity_components",
-    "an_q5_local_supplier",
-    "td_lang_stats",
-    # never driver-verified before round 4 (judge-verified via
-    # scripts/check_oracle.py in round 3; see VERDICT.md "Next round" #1)
-    "mm_media_features",
-    "mm_media_ahash",
-    "ev_windowed_counts",
-    "ev_asof_clicks",
-    "ev_range_join",
-    "ev_rollup_cascade",
-    "ev_incremental_agg",
-    "ev_click_purchase_join",
-    "ev_transitions",
-    "ev_funnel",
-    "ev_cohorts",
-    "ev_moving_avg",
-    "ev_latest_state",
-    "ev_scd2",
-    "ev_merge_upsert",
-    "an_sales_cube",
-    "an_bloom_semijoin",
-    "an_salted_join",
-    "an_sql_surface",
-    "an_below_avg",
-    "an_full_outer",
-    "an_pivot",
-    "an_unpivot",
-    "an_set_ops",
-    "ev_sessions",
-    "ev_props_stats",
-    "ev_quantiles",
-    "an_monthly_revenue",
-    "wiki_item_signals",
-    "wiki_links",
-    "an_pricing_summary",
-    "an_revenue_by_nation",
-    "an_top_orders",
+    # new in round 5 (never verified by any driver round)
+    "kg_two_hop_approx",
+    "td_containment_scaled",
+    "td_incremental_dedup",
+    # registered past round 4's full 50-row window — never
+    # driver-verified (judge re-checked them OK in the r4 session)
+    "an_q6_forecast",
+    "an_q14_promo",
+    "kg_reciprocity",
+    "ev_histogram",
+    "td_best_of_cluster",
+    # last driver-verified in round 3 (displaced by the r4 window),
+    # registration order
+    "kg_media_mentions",
+    "kg_qviews",
+    "kg_qrank",
+    "kg_triples",
+    "kg_item_signals",
+    "kg_text_mentions_arrow",
+    "kg_docs_with_spans",
+    "kg_qviews_from_interleaved",
+    "kg_qviews_fused",
+    "kg_triples_fused",
+    "kg_item_signals_fused",
+    "kg_degrees",
+    "kg_pagerank",
+    "kg_triangles",
+    "kg_bfs",
+    "qa_checks",
+    "kg_item_signals_pr",
+    "td_fingerprints",
+    "td_exact_dedup",
+    "td_token_counts",
+    "td_quality",
+    "td_language_id",
+    "td_ngram_jaccard",
+    "td_tfidf_top_terms",
+    "td_dup_clusters",
+    "td_dup_clusters_lsh",
+    "td_curation",
+    "td_winnow_fps",
+    "td_pipeline",
+    "td_kmv_overlap",
+    "td_lm_score",
+    "td_edit_pairs",
+    "td_sample",
+    "td_hll_tokens",
+    "td_jaccard_prefix",
+    "td_containment",
+    "td_winnow_pairs",
+    "td_contamination",
+    "td_pii_scrub",
+    "td_minhash_pairs",
+    "td_simhash_pairs",
+    "td_ann_topk",
 )
 
 
@@ -1198,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_contamination"] = _td_contamination
     out["td_pii_scrub"] = _td_pii_scrub
     out["td_minhash_pairs"] = _td_minhash_pairs
+    out["td_incremental_dedup"] = _td_incremental_dedup
     out["td_simhash_pairs"] = _td_simhash_pairs
     out["td_ann_topk"] = _td_ann_topk
     out["td_embedding_near_dups"] = _td_embedding_near_dups

@@ -37,18 +37,21 @@ def _sf_label(sf_dir: str) -> float:
 QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3"))
 
 
-def _timed_min(action, trials: int = QUERY_TRIALS) -> float:
-    """min-of-N wall for one query action. This host has documented
-    multi-10-second kernel stalls (see BENCH.md): a single-shot wall
-    can double on unchanged code, so round-over-round diffs must use
-    the minimum of several runs to measure the plan, not the
-    hypervisor."""
+def _timed_min(action, trials: int = QUERY_TRIALS) -> tuple[float, list[float]]:
+    """(min, all walls) of N runs for one query action. This host has
+    documented multi-10-second kernel stalls (see BENCH.md): a
+    single-shot wall can double on unchanged code, so round-over-round
+    diffs must use the minimum of several runs to measure the plan, not
+    the hypervisor. The full per-trial list is emitted too, so a
+    regressed key can be attributed (first-trial JIT/shuffle-file
+    effects show as trial1 >> trial2 ≈ trial3; host weather shows as
+    jitter across ALL trials)."""
     walls = []
     for _ in range(trials):
         t0 = time.perf_counter()
         action()
-        walls.append(time.perf_counter() - t0)
-    return round(min(walls), 3)
+        walls.append(round(time.perf_counter() - t0, 3))
+    return round(min(walls), 3), walls
 
 
 def run_queries(cpus: int, sf_dir: str) -> dict:
@@ -68,8 +71,9 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         "q4_item_signals": g["item_signals"],
         "q5_text_mentions": g["text_mentions"],
     }
+    trial_walls: dict[str, list[float]] = {}
     for name, df in headline.items():
-        timings[name] = _timed_min(df.count)
+        timings[name], trial_walls[name] = _timed_min(df.count)
 
     # extended ops, if present (kept optional so bench never breaks
     # while operators are being added)
@@ -163,7 +167,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             "q16_pipeline": _pipeline,
         }
         for name, action in extended.items():
-            timings[name] = _timed_min(action)
+            timings[name], trial_walls[name] = _timed_min(action)
     except ImportError:
         pass
 
@@ -176,6 +180,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         "total_sec": total,
         "wall_sec": wall,
         "queries": timings,
+        "trial_walls": trial_walls,
         "n_docs": n_docs,
     }
 
@@ -776,6 +781,7 @@ def main() -> None:
         "value": res["total_sec"],
         "unit": "sec",
         "queries": res["queries"],
+        "trial_walls": res["trial_walls"],
         "query_trials": QUERY_TRIALS,
         "wall_sec_incl_warmup": res["wall_sec"],
         "sf": _sf_label(SF_DIR),

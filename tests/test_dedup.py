@@ -431,3 +431,62 @@ def test_containment_prefix_selectivity_on_zipf_vocab(spark):
         for r in containment_prefix_pairs(docs, n=3, threshold=0.9).collect()
     }
     assert pref == naive
+
+
+def test_incremental_lsh_pairs_equals_full_rebuild(spark):
+    """Batch-vs-full equivalence: candidate pairs from the standing
+    band table + the new batch alone == the full-corpus rebuild's
+    pairs restricted to those touching the batch."""
+    from wikidata_qrank_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        inject_near_dups,
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+
+    docs = inject_near_dups(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    is_new = F.col("doc_id") % 7 == 3
+    old_bands = minhash_band_table(docs.filter(~is_new))
+    inc = {
+        (r.doc_a, r.doc_b)
+        for r in incremental_lsh_pairs(old_bands, docs.filter(is_new)).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs).collect()
+        if r.doc_a % 7 == 3 or r.doc_b % 7 == 3
+    }
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_lsh_history_never_shuffles(spark):
+    """The scale claim made checkable: with auto-broadcast off, the
+    new×old probe must STILL be a BroadcastHashJoin (the explicit
+    batch-side hint) — i.e. the corpus-scale standing band table is
+    consumed map-side, with no Exchange on the history side; history
+    work per batch is O(batch matches), not O(corpus)."""
+    from wikidata_qrank_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_table,
+    )
+
+    old = spark.createDataFrame(
+        [(i, "old text %d common suffix tokens here" % i) for i in range(40)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1000, "old text 7 common suffix tokens here")],
+        "doc_id long, text string",
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = incremental_lsh_pairs(minhash_band_table(old), new)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        got = {(r.doc_a, r.doc_b) for r in df.collect()}
+        assert (7, 1000) in got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)

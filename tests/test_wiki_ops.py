@@ -244,3 +244,84 @@ def test_links_schema_b_golden(spark):
         ).collect()
     )
     assert got == [(8681970, 54321), (8681970, 54322)]
+
+
+def test_plot_points_golden_hand_computed():
+    """Data parity with cmd/plot-qrank-distribution/main.go:44-208
+    (logX=false, logY=true): hand-computed pixel vertices for a 5-row
+    curve. numRanks=5 → numRanksInMillions=0 → scaleX = 1000/1e6;
+    maxValue=100 → scaleY = 1000/ceil(log10(100)) = 500."""
+    import math
+
+    from wikidata_qrank_spark.operators.stats import plot_points_from_rows
+
+    rows = [("Q1", 100), ("Q2", 50), ("Q3", 10), ("Q4", 5), ("Q5", 1)]
+    pts = plot_points_from_rows(rows, num_ranks=5)
+    assert [(p[0], p[1]) for p in pts] == [
+        (1, 100), (2, 50), (3, 10), (4, 5), (5, 1)
+    ]
+    sx = 1000.0 / 1e6
+    for i, (rank, value, x, y) in enumerate(pts, start=1):
+        assert abs(x - (rank * sx + 35.0)) < 1e-9
+        assert abs(y - (1000.0 - math.log10(value) * 500.0)) < 1e-9
+    # last point sits on the x axis (value 1 → log10 = 0 → y = 1000)
+    assert pts[-1][3] == 1000.0
+
+
+def test_plot_points_downsamples_flat_curve():
+    """A flat curve never moves ≥ 4px between consecutive ranks
+    (Δx = 0.001 px), so only the unconditional rank-1 vertex is kept —
+    the reference's distance filter, exactly."""
+    from wikidata_qrank_spark.operators.stats import plot_points_from_rows
+
+    pts = plot_points_from_rows([("Q%d" % i, 100) for i in range(50)], num_ranks=50)
+    assert [(p[0], p[1]) for p in pts] == [(1, 100)]
+
+
+def test_plot_points_maxvalue_one_go_float_semantics():
+    """maxValue=1 → ceil(log10)=0 → Go computes plotWidth/0 = +Inf;
+    NaN distances keep only rank 1."""
+    from wikidata_qrank_spark.operators.stats import plot_points_from_rows
+
+    pts = plot_points_from_rows([("Q1", 1), ("Q2", 1), ("Q3", 1)], num_ranks=3)
+    assert [(p[0], p[1]) for p in pts] == [(1, 1)]
+
+
+def test_plot_distribution_points_distributed_matches_kernel(spark):
+    """The single-task mapInPandas form returns the identical vertex
+    list as the pure kernel over the same rank-ordered rows."""
+    from wikidata_qrank_spark.operators.stats import (
+        plot_distribution_points,
+        plot_points_from_rows,
+    )
+
+    data = [("Q%d" % i, 2 ** max(1, 20 - i), i) for i in range(1, 40)]
+    qrank = spark.createDataFrame(data, "item string, views long, rank long")
+    want = plot_points_from_rows(
+        [(d[0], d[1]) for d in sorted(data, key=lambda d: d[2])], num_ranks=len(data)
+    )
+    got = plot_distribution_points(qrank)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        assert abs(g[2] - w[2]) < 1e-9 and abs(g[3] - w[3]) < 1e-9
+
+
+def test_render_distribution_png_gated(tmp_path):
+    """PNG rendering is PIL-gated: returns False (and writes nothing)
+    when PIL is absent, True + a file when present."""
+    from wikidata_qrank_spark.operators.stats import (
+        plot_points_from_rows,
+        render_distribution_png,
+    )
+
+    pts = plot_points_from_rows([("Q1", 100), ("Q2", 10)], num_ranks=2)
+    out = str(tmp_path / "dist.png")
+    import importlib.util
+
+    has_pil = importlib.util.find_spec("PIL") is not None
+    ok = render_distribution_png(pts, out)
+    assert ok == has_pil
+    import os
+
+    assert os.path.exists(out) == has_pil

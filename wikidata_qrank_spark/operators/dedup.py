@@ -598,11 +598,42 @@ def minhash_lsh_pairs(
     bucket = md5 of the concatenated band mins) so the DuckDB oracle can
     value-check the candidate set; 'xxhash64' is the faster scale path.
     """
+    banded = minhash_band_table(
+        documents, text_col, shingle_n, bands, rows_per_band, hash_family
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_band_table(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, band, bucket) — the banded-LSH state table. This is the
+    PERSISTED standing state for continuous-ingestion dedup: a doc's
+    band rows depend only on its own text, so the table is append-only
+    (new batch → new rows, no history rewrite) and candidate
+    generation against it never re-sketches the corpus
+    (:func:`incremental_lsh_pairs`). ``bands`` rows per doc."""
     sig = minhash_signatures(
         documents, text_col, shingle_n, bands * rows_per_band, hash_family
     )
     bucket_hash = F.xxhash64 if hash_family == "xxhash64" else F.md5
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -624,9 +655,57 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
+
+
+def incremental_lsh_pairs(
+    old_bands: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs TOUCHING a newly arrived
+    batch — continuous-ingestion dedup against standing state, without
+    re-sketching history.
+
+    Because band rows are per-doc, dedup of (old ∪ new) decomposes as
+    pairs(old×old) ∪ pairs(new×(old ∪ new)); the first term was already
+    emitted when history was ingested, so only the second is computed:
+
+    * new×old — ``old_bands`` (the persisted state table, corpus-scale)
+      probed MAP-SIDE against the broadcast new band rows: history
+      contributes join OUTPUT rows only for matching buckets, i.e.
+      shuffle/exchange work stays O(new batch), never O(corpus). The
+      broadcast is by contract: a batch is ≪ the corpus (bands rows =
+      batch docs × bands).
+    * new×new — self-join of the batch's band rows (batch-scale).
+
+    The caller persists ``old_bands ∪ minhash_band_table(new_docs)`` as
+    the next standing state — pure append. Equivalence with the
+    full-corpus rebuild is the gate key ``td_incremental_dedup``'s
+    hash-checked invariant."""
+    new_bands = minhash_band_table(
+        new_docs, text_col, shingle_n, bands, rows_per_band, hash_family
+    )
+    o = old_bands.alias("o")
+    nb = F.broadcast(new_bands).alias("n")
+    cross = (
+        o.join(
+            nb,
+            (F.col("o.band") == F.col("n.band"))
+            & (F.col("o.bucket") == F.col("n.bucket"))
+            & (F.col("o.doc_id") != F.col("n.doc_id")),
+        )
+        .select(
+            F.least(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_a"),
+            F.greatest(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+        )
+    )
+    a = new_bands.alias("a")
+    b = new_bands.alias("b")
+    within = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -634,8 +713,8 @@ def minhash_lsh_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    return cross.unionByName(within).distinct()
 
 
 # --------------------------------------------------------------- simhash

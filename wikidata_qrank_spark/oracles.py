@@ -858,6 +858,44 @@ FROM banded a
 JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
+# Incremental dedup equivalence: the oracle rebuilds the FULL injected
+# corpus's banded-LSH candidate pairs and keeps those touching the new
+# batch (doc_id % 7 = 3) — exactly what the Spark side must produce
+# from the standing band table + the batch alone. Same md5 sketch as
+# td_minhash_pairs; corpus injection mirrors inject_near_dups.
+ORACLES["td_incremental_dedup"] = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+toks AS (
+  SELECT doc_id, l FROM base
+  UNION ALL
+  SELECT doc_id + 10000000,
+         string_split(array_to_string(l[1:greatest(len(l) - 2, 1)], ' '), ' ')
+  FROM base WHERE doc_id % 50 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                 i -> array_to_string(l[i:i+2], ' '))) AS gram
+    FROM toks
+  ) WHERE length(gram) > 0
+),
+sig AS (
+  SELECT doc_id,
+         {_mh_mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_mh_banded}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE a.doc_id % 7 = 3 OR b.doc_id % 7 = 3
+"""
+
 _SH_BANDS, _SH_WIDTH = 4, 16
 
 _sh_sums = ",\n    ".join(
