@@ -986,12 +986,12 @@ def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # other round:
 #   round 3 window: registration keys 1..50 (kg_* .. td_ivf_ann);
 #   round 4 window: 13 new r4 keys + the 33 keys r3 missed + 4 classics;
-#   round 5 window (this list): the 3 new r5 keys, then the 5 keys
-#   registered beyond r4's full window (never driver-verified;
-#   judge-verified via scripts/check_oracle.py in r4), then the cohort
-#   whose last driver row is r3 — in registration order, so the 4 that
-#   overflow this 50-row window (td_embedding_near_dups*, td_lsh_ann,
-#   td_ivf_ann) plus the r4 cohort lead round 6.
+#   round 5 window (this list): the 14 new r5 keys (3 scale-path ops +
+#   11 TPC-H-pattern analytics), then the 5 keys registered beyond
+#   r4's full window (never driver-verified; judge-verified via
+#   scripts/check_oracle.py in r4), then as much of the cohort whose
+#   last driver row is r3 as fits — in registration order, so the
+#   displaced tail of that cohort plus the r4 cohort lead round 6.
 # Keys listed here are emitted first, in this order; anything not
 # listed follows in registration order.
 _GATE_FIRST = (
@@ -999,6 +999,17 @@ _GATE_FIRST = (
     "kg_two_hop_approx",
     "td_containment_scaled",
     "td_incremental_dedup",
+    "an_q7_volume",
+    "an_q8_share",
+    "an_q9_profit",
+    "an_q10_returns",
+    "an_q12_shiplag",
+    "an_q13_custdist",
+    "an_q15_top_supplier",
+    "an_q18_big_orders",
+    "an_q19_disjunctive",
+    "an_q21_waiting",
+    "an_q22_idle_customers",
     # registered past round 4's full 50-row window — never
     # driver-verified (judge re-checked them OK in the r4 session)
     "an_q6_forecast",
@@ -1194,6 +1205,74 @@ def _td_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return elect_survivors(comp, lens, score_col="n_tokens")
 
 
+def _an_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import volume_shipping
+
+    return volume_shipping(spark, sf_dir)
+
+
+def _an_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import national_market_share
+
+    return national_market_share(spark, sf_dir)
+
+
+def _an_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import product_profit_by_nation
+
+    return product_profit_by_nation(spark, sf_dir)
+
+
+def _an_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import returned_item_reporting
+
+    return returned_item_reporting(spark, sf_dir)
+
+
+def _an_q12_shiplag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import ship_lag_priority
+
+    return ship_lag_priority(spark, sf_dir)
+
+
+def _an_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import customer_order_distribution
+
+    return customer_order_distribution(spark, sf_dir)
+
+
+def _an_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import top_supplier
+
+    return top_supplier(spark, sf_dir)
+
+
+def _an_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import large_volume_customers
+
+    return large_volume_customers(spark, sf_dir)
+
+
+def _an_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import (
+        disjunctive_discounted_revenue,
+    )
+
+    return disjunctive_discounted_revenue(spark, sf_dir)
+
+
+def _an_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import suppliers_kept_waiting
+
+    return suppliers_kept_waiting(spark, sf_dir)
+
+
+def _an_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import idle_rich_customers
+
+    return idle_rich_customers(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _PIPELINE_KEYS:
@@ -1296,6 +1375,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_reciprocity"] = _kg_reciprocity
     out["ev_histogram"] = _ev_histogram
     out["td_best_of_cluster"] = _td_best_of_cluster
+    out["an_q7_volume"] = _an_q7_volume
+    out["an_q8_share"] = _an_q8_share
+    out["an_q9_profit"] = _an_q9_profit
+    out["an_q10_returns"] = _an_q10_returns
+    out["an_q12_shiplag"] = _an_q12_shiplag
+    out["an_q13_custdist"] = _an_q13_custdist
+    out["an_q15_top_supplier"] = _an_q15_top_supplier
+    out["an_q18_big_orders"] = _an_q18_big_orders
+    out["an_q19_disjunctive"] = _an_q19_disjunctive
+    out["an_q21_waiting"] = _an_q21_waiting
+    out["an_q22_idle_customers"] = _an_q22_idle_customers
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

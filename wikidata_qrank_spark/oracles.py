@@ -2369,3 +2369,205 @@ SELECT event_type, bin,
        ) AS BIGINT) AS cum_n
 FROM c
 """
+
+ORACLES["an_q7_volume"] = """
+WITH n AS (SELECT n_nationkey, n_name FROM nation
+           WHERE n_name IN ('NATION_11', 'NATION_12'))
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_u
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN n n1 ON s_nationkey = n1.n_nationkey
+JOIN n n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["an_q8_share"] = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS rev_u,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND c_nationkey IN (
+      SELECT n_nationkey FROM nation JOIN region
+        ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_u ELSE 0 END)
+            AS BIGINT) AS target_u,
+       CAST(sum(rev_u) AS BIGINT) AS total_u,
+       floor((CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_u ELSE 0 END)
+                   AS BIGINT) / CAST(sum(rev_u) AS BIGINT))
+             * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+FROM j GROUP BY o_year
+"""
+
+ORACLES["an_q9_profit"] = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS profit_u
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+ORACLES["an_q10_returns"] = """
+SELECT c_custkey, c_name,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c,
+       n_name AS nation,
+       revenue_u
+FROM (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS revenue_u
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY o_custkey
+) pc
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY revenue_u DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["an_q12_shiplag"] = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+            THEN 'LATE' ELSE 'ON_TIME' END AS lag_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = 1997
+GROUP BY 1
+"""
+
+ORACLES["an_q13_custdist"] = """
+WITH pc AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM pc GROUP BY c_count
+"""
+
+ORACLES["an_q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_u
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM rev)
+"""
+
+ORACLES["an_q18_big_orders"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 30000
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate_s,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_c,
+       sum_qty_c
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["an_q19_disjunctive"] = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_u,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#9' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+ORACLES["an_q21_waiting"] = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate) > 90 AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+l1 AS (SELECT l_orderkey, l_suppkey FROM lines WHERE is_late),
+w AS (
+  SELECT l1.l_orderkey, l1.l_suppkey FROM l1
+  WHERE EXISTS (SELECT 1 FROM lines l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lines l3
+                    WHERE l3.is_late
+                      AND l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey)
+)
+SELECT s_name, n_name AS nation, CAST(count(*) AS BIGINT) AS numwait
+FROM w
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name ASC, nation ASC
+LIMIT 100
+"""
+
+ORACLES["an_q22_idle_customers"] = """
+WITH c AS (
+  SELECT * FROM customer
+  WHERE c_nationkey IN (1, 5, 7, 11, 13, 17, 19)
+),
+avg_bal AS (
+  SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_bal_c,
+         CAST(count(*) AS BIGINT) AS n_bal
+  FROM c WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey AS INTEGER) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS totacctbal_c
+FROM c, avg_bal
+WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n_bal > sum_bal_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+"""

@@ -697,3 +697,451 @@ def promo_revenue_share(
             ),
         )
     )
+
+
+def volume_shipping(
+    spark: SparkSession, sf_dir: str,
+    nation_a: str = "NATION_11", nation_b: str = "NATION_12",
+    lo: str = "1996-01-01", hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 pattern: bilateral trade volume between two nations per
+    year — revenue where the supplier sits in one nation and the
+    ordering customer in the other, both directions reported.
+
+    Scale notes: the two nation dims are true constants (25 rows) and
+    broadcast; filtering them to {a, b} BEFORE the join turns the
+    symmetric OR predicate into two inner broadcast joins plus one
+    cheap post-join inequality (supp_nation != cust_nation), so
+    supplier/customer rows outside the two nations are dropped at the
+    map side and never reach the fact shuffles."""
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(nation_a, nation_b)
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                             F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cnk"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    revenue_units = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).cast("int").alias("l_year"),
+        )
+        .agg(F.sum(revenue_units).cast("long").alias("revenue_u"))
+    )
+
+
+def national_market_share(
+    spark: SparkSession, sf_dir: str,
+    target_nation: str = "NATION_2", region: str = "ASIA",
+    part_type: str = "ECONOMY",
+    lo: str = "1996-01-01", hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8 pattern: the target nation's share of revenue for one
+    part type sold into one region, per order year. The share is a
+    conditional sum over ONE joined relation — no second pass over the
+    facts. Nation/region dims broadcast (constant); part is filtered
+    on p_type before its join so only matching partkeys shuffle.
+    Integer-unit sums; final division via round6 (bit-stable)."""
+    from ..functions.precision import round6
+
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    n_cust = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == part_type)
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue_units = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("cust_nk"), "left_semi")
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("supp_nk"))
+        .select(
+            F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+            revenue_units.alias("rev_u"),
+            F.col("supp_nation"),
+        )
+    )
+    target = F.when(
+        F.col("supp_nation") == target_nation, F.col("rev_u")
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(target).cast("long").alias("target_u"),
+            F.sum("rev_u").cast("long").alias("total_u"),
+        )
+        .select(
+            "o_year",
+            "target_u",
+            "total_u",
+            round6(F.col("target_u") / F.col("total_u")).alias("mkt_share"),
+        )
+    )
+
+
+def product_profit_by_nation(
+    spark: SparkSession, sf_dir: str, name_token: str = "red"
+) -> DataFrame:
+    """TPC-H Q9 pattern, ADAPTED: profit per supplier nation per year
+    for parts whose name contains a token. The reference Q9 subtracts
+    ps_supplycost * l_quantity; this corpus has no partsupp table
+    (TESTDATA.md), so profit here is discounted revenue only — the
+    join/aggregation shape (5-way join, contains-filter on the part
+    dim, two-level group key) is what this exercises.
+
+    part is filtered on the name token before joining, so the fact
+    shuffle carries only matching partkeys; nation broadcasts."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(name_token)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue_units = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+        )
+        .agg(F.sum(revenue_units).cast("long").alias("profit_u"))
+    )
+
+
+def returned_item_reporting(
+    spark: SparkSession, sf_dir: str,
+    lo: str = "1996-10-01", hi: str = "1997-01-01", k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 pattern: top-k customers by revenue lost to returns
+    (l_returnflag = 'R') in one quarter. The per-customer aggregate
+    happens BEFORE joining the customer dim, so the (potentially wide)
+    customer attributes never ride the fact shuffle; the dim join then
+    touches only the aggregated rows. Top-k is a global sort of the
+    aggregate (small), tie-broken by custkey so LIMIT is
+    deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    revenue_units = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(revenue_units).cast("long").alias("revenue_u"))
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            _cents(F.col("c_acctbal")).alias("acctbal_c"),
+            F.col("n_name").alias("nation"),
+            "revenue_u",
+        )
+        .orderBy(F.col("revenue_u").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def ship_lag_priority(
+    spark: SparkSession, sf_dir: str, year: int = 1997, lag_days: int = 60
+) -> DataFrame:
+    """TPC-H Q12 pattern, ADAPTED: the reference buckets lineitems by
+    l_shipmode and counts urgent vs non-urgent orders among the late
+    ones; this corpus has no shipmode/commitdate/receiptdate
+    (TESTDATA.md), so the category is the ship-lag bucket
+    (datediff(l_shipdate, o_orderdate) thresholded) and "late" keeps
+    the same urgent/non-urgent conditional-count split. One fact⋈fact
+    equi-join, the CASE counts fold into a single aggregation pass."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year(F.col("l_shipdate")) == year
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "lag_bucket",
+        F.when(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > lag_days,
+            F.lit("LATE"),
+        ).otherwise(F.lit("ON_TIME")),
+    )
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return j.groupBy("lag_bucket").agg(
+        F.sum(urgent).cast("long").alias("high_line_count"),
+        F.sum(1 - urgent).cast("long").alias("low_line_count"),
+    )
+
+
+def customer_order_distribution(
+    spark: SparkSession, sf_dir: str, exclude_priority: str = "4-NOT SPECIFIED"
+) -> DataFrame:
+    """TPC-H Q13 pattern: the distribution of order counts per customer
+    — how many customers placed 0, 1, 2, … qualifying orders. The
+    reference excludes orders by a comment pattern; this corpus has no
+    o_comment (TESTDATA.md) so the stand-in filter excludes one
+    priority class. Two-level aggregation with a LEFT outer join so
+    zero-order customers survive into the c_count = 0 bucket — the
+    semantics inner joins silently lose."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != exclude_priority
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def top_supplier(
+    spark: SparkSession, sf_dir: str,
+    lo: str = "1996-01-01", hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 pattern: the supplier(s) with maximum revenue in a
+    quarter. The revenue "view" is one per-supplier aggregate; the
+    correlated `= (SELECT max(...))` becomes a 1-row max joined back
+    by equality. The 1-row max side is an explicit broadcast (a true
+    constant), so the filter is map-side — no second shuffle of the
+    aggregate, and ties all survive exactly as in the spec."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    revenue_units = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue_units).cast("long").alias("total_revenue_u")
+    )
+    mx = rev.agg(F.max("total_revenue_u").alias("max_rev_u"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue_u == mx.max_rev_u)
+        .join(s, rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_u")
+    )
+
+
+def large_volume_customers(
+    spark: SparkSession, sf_dir: str, min_qty: float = 300.0
+) -> DataFrame:
+    """TPC-H Q18 pattern: orders whose total quantity exceeds a
+    threshold, with their customer. The HAVING filter runs on the
+    per-order aggregate FIRST, so only the (rare) qualifying orderkeys
+    join back to orders/customer — the join input shrinks from all
+    orders to the survivors. Quantity threshold compares exact integer
+    centi-units."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > int(min_qty * 100))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+            _cents(F.col("o_totalprice")).alias("totalprice_c"),
+            "sum_qty_c",
+        )
+    )
+
+
+def disjunctive_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 pattern, ADAPTED: revenue for an OR of three
+    brand/size/quantity conjunct groups. The reference's container and
+    shipmode predicates don't exist in this corpus (TESTDATA.md); the
+    preserved point is that the OR-of-conjuncts lands as ONE join with
+    a residual filter referencing both sides — not a UNION of three
+    scans — and the part-side-only conjuncts (brand, size) still prune
+    the dim before the join."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (
+            (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+        )
+        | (
+            (F.col("p_brand") == "Brand#5") & (F.col("p_size").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#9") & (F.col("p_size").between(20, 50))
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#5") & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#9") & q.between(20, 40))
+    )
+    revenue_units = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(revenue_units).cast("long").alias("revenue_u"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def suppliers_kept_waiting(
+    spark: SparkSession, sf_dir: str, late_days: int = 90, k: int = 100
+) -> DataFrame:
+    """TPC-H Q21 pattern, ADAPTED: suppliers who were the ONLY late
+    supplier on a finished multi-supplier order. "Late" in the
+    reference is l_receiptdate > l_commitdate; this corpus has neither
+    (TESTDATA.md), so late = shipped more than `late_days` after the
+    order date. The EXISTS (another supplier on the order) is a LEFT
+    SEMI join and the NOT EXISTS (another LATE supplier) a LEFT ANTI
+    join — both row-preserving, no row multiplication, computed on the
+    (orderkey, suppkey) projection so the wide lineitem columns never
+    shuffle twice."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > late_days
+        ).alias("is_late"),
+    )
+    l1 = lines.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    l2 = lines.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    l3 = (
+        lines.filter(F.col("is_late"))
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .distinct()
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(
+            F.col("numwait").desc(), F.col("s_name").asc(), F.col("nation").asc()
+        )
+        .limit(k)
+    )
+
+
+def idle_rich_customers(
+    spark: SparkSession, sf_dir: str,
+    nationkeys: tuple = (1, 5, 7, 11, 13, 17, 19),
+    idle_since: str = "1999-01-01",
+) -> DataFrame:
+    """TPC-H Q22 pattern, ADAPTED: customers in a set of countries with
+    above-average positive balances and no orders since a cutoff date.
+    The reference selects countries by phone prefix and requires zero
+    orders ever; this corpus has no c_phone and every synthetic
+    customer has at least one order (TESTDATA.md), so the set is
+    nation keys and "idle" means no order on/after `idle_since` —
+    the same NOT-EXISTS shape over a date-restricted orders scan.
+    The scalar avg subquery is a 1-row broadcast; "no recent orders"
+    is a LEFT ANTI join against the filtered orders keys — never an
+    outer join + null filter, so orders' columns don't shuffle. The
+    avg threshold is applied as the cross-multiplied EXACT integer
+    inequality bal*n > sum — no float average whose last bit could
+    differ between engines."""
+    keys = list(nationkeys)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(keys)
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_cents(F.col("c_acctbal"))).alias("sum_bal_c"),
+        F.count(F.lit(1)).cast("long").alias("n_bal"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(idle_since).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(_cents(F.col("c_acctbal")) * F.col("n_bal") > F.col("sum_bal_c"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(_cents(F.col("c_acctbal"))).cast("long").alias("totacctbal_c"),
+        )
+    )
