@@ -1010,6 +1010,11 @@ _GATE_FIRST = (
     "an_q19_disjunctive",
     "an_q21_waiting",
     "an_q22_idle_customers",
+    "kg_kcore",
+    "kg_hits",
+    "td_countmin",
+    "td_countmin_est",
+    "td_chunk_dedup",
     # registered past round 4's full 50-row window — never
     # driver-verified (judge re-checked them OK in the r4 session)
     "an_q6_forecast",
@@ -1205,6 +1210,63 @@ def _td_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return elect_survivors(comp, lens, score_col="n_tokens")
 
 
+def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the triple graph via fixed-round peeling — iterative
+    degree filter vs the identical unrolled-CTE oracle."""
+    from wikidata_qrank_spark.operators.graph import k_core
+
+    return k_core(_kg_edges(spark, sf_dir), k=2, max_rounds=8)
+
+
+def _kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores (3 iterations, L1-normalized, round6
+    per boundary) — bit-reproducible vs the unrolled SQL recurrence,
+    the same contract as kg_pagerank."""
+    from wikidata_qrank_spark.operators.graph import hits
+
+    return hits(_kg_edges(spark, sf_dir), iters=3)
+
+
+def _td_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _documents(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+
+
+def _td_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of the corpus token frequencies (depth 4,
+    width 256) — mergeable bounded-state counters, portable md5
+    hashing so the oracle derives identical cells."""
+    from wikidata_qrank_spark.operators.sketches import count_min
+
+    return count_min(_td_tokens(spark, sf_dir), "token", depth=4, width=256)
+
+
+def _td_countmin_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates for every distinct token — min over
+    the depth counters; the oracle recomputes sketch + probes in SQL
+    (estimates are exact-integer, so hash-comparable)."""
+    from wikidata_qrank_spark.operators.sketches import (
+        count_min,
+        count_min_estimate,
+    )
+
+    toks = _td_tokens(spark, sf_dir)
+    sk = count_min(toks, "token", depth=4, width=256)
+    return count_min_estimate(
+        sk, toks.distinct(), "token", depth=4, width=256
+    )
+
+
+def _td_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup: 10-token windows,
+    first-occurrence-wins by global (doc_id, idx) order; only hashes
+    shuffle, never chunk text."""
+    from wikidata_qrank_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(_documents(spark, sf_dir), chunk_tokens=10)
+
+
 def _an_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.plans.analytics import volume_shipping
 
@@ -1386,6 +1448,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["an_q19_disjunctive"] = _an_q19_disjunctive
     out["an_q21_waiting"] = _an_q21_waiting
     out["an_q22_idle_customers"] = _an_q22_idle_customers
+    out["kg_kcore"] = _kg_kcore
+    out["kg_hits"] = _kg_hits
+    out["td_countmin"] = _td_countmin
+    out["td_countmin_est"] = _td_countmin_est
+    out["td_chunk_dedup"] = _td_chunk_dedup
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

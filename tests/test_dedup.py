@@ -490,3 +490,42 @@ def test_incremental_lsh_history_never_shuffles(spark):
         assert (7, 1000) in got
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    """doc 1 holds the original chunk; doc 2 repeats it twice and adds
+    a fresh chunk; doc 3 repeats doc 1's chunk once. First global
+    (doc_id, idx) occurrence is the survivor, everything later is a
+    dup — counted per doc, partitioning-independent."""
+    from wikidata_qrank_spark.operators.dedup import chunk_dedup
+
+    a = "a b c d"          # one chunk (W=4)
+    b = "x y z w"
+    docs = spark.createDataFrame(
+        [
+            (1, a),
+            (2, f"{a} {a} {b}"),   # chunks: [a, a, b] -> 2 dups
+            (3, a),                 # 1 dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks)
+        for r in chunk_dedup(docs, chunk_tokens=4).collect()
+    }
+    assert got == {1: (1, 0), 2: (3, 2), 3: (1, 1)}
+
+
+def test_chunk_dedup_tail_chunk_and_validation(spark):
+    import pytest
+
+    from wikidata_qrank_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    # 5 tokens at W=2 -> 3 chunks (the short tail "e" is its own chunk)
+    row = chunk_dedup(docs, chunk_tokens=2).collect()[0]
+    assert (row.n_chunks, row.n_dup_chunks) == (3, 0)
+    with pytest.raises(ValueError):
+        chunk_dedup(docs, chunk_tokens=0)

@@ -173,3 +173,51 @@ def test_pmi_does_not_broadcast_item_dim(spark):
         assert "BroadcastHashJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_k_core_triangle_with_pendants(spark):
+    """Triangle {1,2,3} plus pendant chain 3-4, 4-5: the 2-core is
+    exactly the triangle (each member keeps degree 2); pendants peel
+    off over two rounds."""
+    from wikidata_qrank_spark.operators.graph import k_core
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    got = {r.node: r.core_degree for r in k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_empty_when_no_core(spark):
+    from wikidata_qrank_spark.operators.graph import k_core
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4)])  # a path: no 2-core
+    assert k_core(edges, k=2).count() == 0
+
+
+def test_k_core_ignores_direction_and_duplicates(spark):
+    """Reverse/parallel edges and self-loops collapse before peeling:
+    1↔2 twice plus a self-loop is still just one undirected edge, so
+    there is no 2-core."""
+    from wikidata_qrank_spark.operators.graph import k_core
+
+    edges = _edges(spark, [(1, 2), (2, 1), (1, 2), (1, 1)])
+    assert k_core(edges, k=2).count() == 0
+
+
+def test_hits_star_graph(spark):
+    """Star u→{2,3,4} from hubs {1,5}: sources are pure hubs
+    (authority 0), sinks pure authorities (hub 0); L1 sums are 1 per
+    side at every iteration."""
+    from wikidata_qrank_spark.operators.graph import hits
+
+    edges = _edges(spark, [(1, 2), (1, 3), (1, 4), (5, 2), (5, 3)])
+    rows = {r.node: r for r in hits(edges, iters=3).collect()}
+    assert rows[1].authority == 0.0 and rows[5].authority == 0.0
+    for sink in (2, 3, 4):
+        assert rows[sink].hub == 0.0
+    assert abs(sum(r.hub for r in rows.values()) - 1.0) < 1e-5
+    assert abs(sum(r.authority for r in rows.values()) - 1.0) < 1e-5
+    # node 2 and 3 receive from both hubs, node 4 from one
+    assert rows[2].authority == rows[3].authority > rows[4].authority
+    # hub 1 links to all three sinks, hub 5 to the two strong ones:
+    # both positive, and 1's extra (weaker) sink still wins
+    assert rows[1].hub > rows[5].hub > 0.0

@@ -163,3 +163,57 @@ def test_histogram_clamps_out_of_range(spark):
     assert rows[0] == 2      # -5.0 clamped into bin 0 with 0.0
     assert rows[9] == 2      # 99.9 and the 250.0 overflow share bin 9
     assert sum(rows.values()) == 4  # totals preserved
+
+
+def test_countmin_merge_law_and_overestimate(spark):
+    """Count-Min invariants: (1) sketch(A ∪ B) equals the cell-wise
+    SUM of sketch(A) and sketch(B) — the mergeability that lets
+    per-partition sketches roll up by addition; (2) every point
+    estimate is >= the true count (one-sided error, never under);
+    (3) with width >> distinct keys the estimates are exact."""
+    from wikidata_qrank_spark.operators.sketches import (
+        count_min,
+        count_min_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 2 + [("z",)], "k string"
+    )
+    b = spark.createDataFrame([("x",)] * 3 + [("w",)] * 4, "k string")
+    both = a.unionByName(b)
+
+    def cells(df):
+        return {
+            (r.d, r.bucket): r.cnt
+            for r in count_min(df, "k", depth=3, width=64).collect()
+        }
+
+    ca, cb, cu = cells(a), cells(b), cells(both)
+    summed: dict = {}
+    for c in (ca, cb):
+        for k, v in c.items():
+            summed[k] = summed.get(k, 0) + v
+    assert cu == summed
+
+    true = {"x": 8, "y": 2, "z": 1, "w": 4}
+    keys = spark.createDataFrame([(k,) for k in true], "k string")
+    sk = count_min(both, "k", depth=3, width=64)
+    est = {
+        r.key: r.est
+        for r in count_min_estimate(sk, keys, "k", depth=3, width=64).collect()
+    }
+    for k, t in true.items():
+        assert est[k] >= t
+    assert est == true  # 4 keys in 64 buckets: collisions absent
+
+
+def test_countmin_validates_params(spark):
+    import pytest
+
+    from wikidata_qrank_spark.operators.sketches import count_min
+
+    df = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(ValueError):
+        count_min(df, "k", depth=0)
+    with pytest.raises(ValueError):
+        count_min(df, "k", width=1)

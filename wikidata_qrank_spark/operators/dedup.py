@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash60
 from ..functions.precision import round6
 
 # ---------------------------------------------------------------- exact
@@ -940,3 +941,59 @@ def embedding_near_dups(
         round6(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))),
     )
     return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def chunk_dedup(
+    documents: DataFrame,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_chunks, n_dup_chunks) — sub-document exact dedup at
+    fixed token-window granularity, the scalable stand-in for CCNet's
+    paragraph-hash dedup (Wenzek et al. 2020) and for exact-substring
+    dedup (Lee et al. 2022) on corpora whose documents lack paragraph
+    breaks: text splits into consecutive ``chunk_tokens``-token
+    windows, each chunk is md5-fingerprinted, and a chunk is a DUP if
+    the same fingerprint first occurs earlier in global
+    (doc_id, chunk_idx) order — first occurrence survives,
+    deterministically, independent of partitioning.
+
+    Scale shape: chunk TEXT never shuffles — chunks are hashed inside
+    the map-side projection and only (doc_id, idx, hash60) rows reach
+    the one hash-keyed shuffle, where min_by elects the canonical
+    occurrence; the verdict joins back on the SAME hash key (AQE
+    reuses the exchange partitioning), then one doc-keyed count. Total
+    shuffle bytes ∝ token count × ~24 bytes, no quadratic term — the
+    same no-text-shuffle rule the LSH pipeline follows
+    (plans/training_data.py).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_hashes = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: hash60(
+            F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            )
+        ),
+    )
+    exploded = (
+        documents.select("doc_id", F.posexplode(chunk_hashes).alias("idx", "h"))
+        .localCheckpoint(eager=True)
+    )
+    first = exploded.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first_occ")
+    )
+    flagged = exploded.join(first, "h").select(
+        "doc_id",
+        (
+            (F.col("first_occ.doc_id") != F.col("doc_id"))
+            | (F.col("first_occ.idx") != F.col("idx"))
+        ).cast("int").alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+    )

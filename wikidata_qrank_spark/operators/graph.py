@@ -363,3 +363,143 @@ def reciprocity(edges: DataFrame, src: str = "src_id", dst: str = "dst_id") -> D
             ).alias("reciprocity"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 8,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(node, core_degree) — nodes surviving ``max_rounds`` of k-core
+    peeling over the undirected simple graph, with their degree inside
+    the surviving subgraph.
+
+    Each round removes every node whose current degree is < k, then
+    recomputes degrees over the induced subgraph; at a fixpoint the
+    result IS the classical k-core. The round count is FIXED (and the
+    oracle unrolls the identical recurrence) so both engines compute
+    the same set even on inputs that have not converged — extra rounds
+    at a fixpoint are no-ops, and the loop exits early when a round
+    removes nothing.
+
+    Scale: each round is one degree aggregation (shuffle keyed on
+    node) plus two left-semi joins filtering the edge list — work
+    bounded by the surviving edge count, monotonically shrinking.
+    Lineage is truncated per round (``localCheckpoint``; see
+    operators/clusters.py for why), so plans stay flat regardless of
+    round count. No collect; the only driver-side values are the
+    per-round survivor counts used for the early exit.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = -1
+    for _ in range(max_rounds):
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        n_keep = keep.count()
+        if n_keep == prev:
+            break
+        prev = n_keep
+        und = (
+            und.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(node, hub, authority) — HITS after ``iters`` mutual-update
+    iterations with L1 normalization, round6-ed at every boundary so
+    the float fixpoint is identical to the unrolled SQL oracle (the
+    same bit-reproducibility contract as :func:`pagerank`).
+
+    Recurrence (deterministic, stated in the oracle too): start
+    h_0 = a_0 = round6(1/N) over N = |src ∪ dst|; then
+    a'(v) = Σ_{u→v} h(u), h'(u) = Σ_{u→v} a'(v) — the half-step
+    ordering (authorities from CURRENT hubs, hubs from the NEW
+    authorities) — each followed by L1 normalization and round6.
+    Nodes missing a side score 0.
+
+    Scale: per iteration, two edge-keyed join+agg shuffles (the score
+    tables are node-sized — AQE broadcasts them when small, sort-merge
+    on the node key otherwise) and two 1-row L1 sums; lineage truncated
+    per round. Dense hubs fan IN through an aggregation, never a
+    row-multiplying self-join.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node long, hub double, authority double"
+        )
+    graph = e.localCheckpoint(eager=True)
+    init = round6(F.lit(1.0 / n))
+    scores = nodes.select("node", init.alias("hub"), init.alias("authority"))
+
+    def _l1_norm(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("_t"))
+        return (
+            df.join(F.broadcast(total))
+            .withColumn(
+                col,
+                F.when(F.col("_t") > 0, round6(F.col(col) / F.col("_t")))
+                .otherwise(F.lit(0.0)),
+            )
+            .drop("_t")
+        )
+
+    for _ in range(iters):
+        auth = (
+            graph.join(
+                scores.select(F.col("node").alias("u"), "hub"), "u"
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _l1_norm(auth, "authority")
+        hub = (
+            graph.join(
+                auth.select(F.col("node").alias("v"), "authority"), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = _l1_norm(hub, "hub")
+        scores = (
+            nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores

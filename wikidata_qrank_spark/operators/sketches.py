@@ -234,3 +234,101 @@ def value_histogram(
         "n",
         F.sum("n").over(w).cast("long").alias("cum_n"),
     )
+
+
+def count_min(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(group_cols..., d, bucket, cnt) — Count-Min sketch of the key
+    frequency distribution: ``depth`` independent hash rows of
+    ``width`` counters each. Point estimate for any key = min over the
+    ``depth`` counters it hashes to — an upper bound on the true count
+    (never under), within εN with probability 1−δ for width = e/ε,
+    depth = ln(1/δ) (Cormode & Muthukrishnan 2005).
+
+    Why this shape at 100 TB: like hll_registers, the sketch bounds the
+    shuffle — at most groups × depth × width rows leave the map side
+    regardless of corpus size (map-side partial aggregation combines
+    within each task), versus a full groupBy(key) whose shuffle scales
+    with distinct keys. Counters are exact longs summed in any order,
+    so the sketch is bit-stable, and MERGEABLE: the sketch of A ∪ B is
+    the (d, bucket)-wise SUM of the sketches — plain addition, so
+    per-day/per-partition sketches roll up without touching raw data.
+
+    Hashing is the repo's portable md5 scheme (row salt ``d:`` +
+    key → hash60 % width), so the DuckDB oracle and any non-Spark
+    writer derive the identical counters (the same portability
+    argument as the HLL above; Spark's xxhash-based functions are
+    JVM-internal).
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    groups = list(group_cols)
+    # ONE corpus scan: the depth coordinates explode map-side (cheap
+    # row multiplication inside the task), not as `depth` re-reads.
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                (
+                    hash60(
+                        F.concat_ws(
+                            ":", F.lit(str(d)), F.col(key_col).cast("string")
+                        )
+                    )
+                    % width
+                ).cast("long").alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(*groups, F.explode(coords).alias("p"))
+        .select(*groups, "p.d", "p.bucket")
+        .groupBy(*groups, "d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(key, est) — Count-Min point queries: min over the depth
+    counters each key hashes to; absent counters read 0. The keys
+    side re-derives the same (d, bucket) coordinates and joins the
+    sketch on them — sketch side is at most depth × width rows, an
+    always-broadcastable constant, so the probe is map-side."""
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                (
+                    hash60(
+                        F.concat_ws(
+                            ":", F.lit(str(d)), F.col(key_col).cast("string")
+                        )
+                    )
+                    % width
+                ).cast("long").alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probes = keys.select(
+        F.col(key_col).alias("key"), F.explode(coords).alias("p")
+    ).select("key", "p.d", "p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )

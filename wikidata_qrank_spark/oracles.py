@@ -2571,3 +2571,169 @@ WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n_bal > sum_bal_c
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1
 """
+
+
+def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled k-core peeling — same fixed-round recurrence as
+    operators/graph.py:k_core (extra rounds at a fixpoint are no-ops,
+    so the engine's early exit cannot diverge from this unroll)."""
+    ctes = [
+        """,
+und0 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM edges WHERE u <> v
+    UNION ALL
+    SELECT v AS u, u AS v FROM edges WHERE u <> v
+  )
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f""",
+keep{r} AS MATERIALIZED (
+  SELECT u FROM und{r - 1} GROUP BY u HAVING count(*) >= {k}
+),
+und{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM und{r - 1} e
+  JOIN keep{r} a ON e.u = a.u
+  JOIN keep{r} b ON e.v = b.u
+)"""
+        )
+    return kg_sql(
+        _EDGES_CTE
+        + "".join(ctes)
+        + f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM und{rounds} GROUP BY u HAVING count(*) >= {k}
+"""
+    )
+
+
+ORACLES["kg_kcore"] = _kcore_sql(2, 8)
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled HITS recurrence mirroring operators/graph.py:hits —
+    half-step ordering (authorities from current hubs, hubs from the
+    NEW normalized authorities), L1 normalization + round6 at every
+    boundary, absent sides scored 0."""
+    r6f = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    ctes = [
+        ",\nnn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        ",\ns0 AS (SELECT node, "
+        + r6f.format(x="1.0 / nn.n")
+        + " AS hub, "
+        + r6f.format(x="1.0 / nn.n")
+        + " AS authority FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f""",
+ar{t} AS MATERIALIZED (
+  SELECT e.v AS node, sum(s.hub) AS authority
+  FROM edges e JOIN s{t - 1} s ON e.u = s.node GROUP BY e.v
+),
+an{t} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN (SELECT sum(authority) FROM ar{t}) > 0
+              THEN {r6f.format(x=f"authority / (SELECT sum(authority) FROM ar{t})")}
+              ELSE 0.0 END AS authority
+  FROM ar{t}
+),
+hr{t} AS MATERIALIZED (
+  SELECT e.u AS node, sum(a.authority) AS hub
+  FROM edges e JOIN an{t} a ON e.v = a.node GROUP BY e.u
+),
+hn{t} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN (SELECT sum(hub) FROM hr{t}) > 0
+              THEN {r6f.format(x=f"hub / (SELECT sum(hub) FROM hr{t})")}
+              ELSE 0.0 END AS hub
+  FROM hr{t}
+),
+s{t} AS MATERIALIZED (
+  SELECT no.node,
+         COALESCE(h.hub, 0.0) AS hub,
+         COALESCE(a.authority, 0.0) AS authority
+  FROM nodes no
+  LEFT JOIN hn{t} h ON no.node = h.node
+  LEFT JOIN an{t} a ON no.node = a.node
+)"""
+        )
+    return kg_sql(
+        _EDGES_CTE
+        + "".join(ctes)
+        + f"\nSELECT node, hub, authority FROM s{iters}\n"
+    )
+
+
+ORACLES["kg_hits"] = _hits_sql(3)
+
+
+ORACLES["td_countmin"] = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+coords AS (
+  SELECT CAST(ds.d AS INTEGER) AS d,
+         CAST('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || token), 1, 15)
+              AS BIGINT) % 256 AS bucket
+  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) ds
+)
+SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM coords GROUP BY d, bucket
+"""
+
+
+ORACLES["td_countmin_est"] = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+coords AS (
+  SELECT token,
+         CAST(ds.d AS INTEGER) AS d,
+         CAST('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || token), 1, 15)
+              AS BIGINT) % 256 AS bucket
+  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) ds
+),
+sketch AS (
+  SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM coords GROUP BY d, bucket
+),
+probes AS (
+  SELECT DISTINCT token AS key, d, bucket FROM coords
+)
+SELECT p.key, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+GROUP BY p.key
+"""
+
+
+ORACLES["td_chunk_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+idxs AS (
+  SELECT doc_id, l,
+         CAST(unnest(range(CAST(ceil(len(l) / 10.0) AS BIGINT)))
+              AS INTEGER) AS idx
+  FROM toks
+),
+ch AS MATERIALIZED (
+  SELECT doc_id, idx,
+         CAST('0x' || substr(md5(array_to_string(
+                l[idx * 10 + 1 : (idx + 1) * 10], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM idxs
+),
+flag AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1
+              THEN 0 ELSE 1 END AS is_dup
+  FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks
+FROM flag GROUP BY doc_id
+"""
