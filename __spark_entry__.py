@@ -1015,6 +1015,11 @@ _GATE_FIRST = (
     "td_countmin",
     "td_countmin_est",
     "td_chunk_dedup",
+    "an_q17_small_qty",
+    "an_q20_dominant",
+    "an_q11_important_parts",
+    "an_q16_supplier_counts",
+    "an_q2_best_supplier",
     # registered past round 4's full 50-row window — never
     # driver-verified (judge re-checked them OK in the r4 session)
     "an_q6_forecast",
@@ -1258,6 +1263,40 @@ def _td_countmin_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _an_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-scoped Q17 (the brand-blind decorrelated form is the
+    an_below_avg key)."""
+    from wikidata_qrank_spark.plans.analytics import (
+        brand_small_quantity_revenue,
+    )
+
+    return brand_small_quantity_revenue(spark, sf_dir)
+
+
+def _an_q20_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import dominant_part_suppliers
+
+    return dominant_part_suppliers(spark, sf_dir)
+
+
+def _an_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import important_part_volume
+
+    return important_part_volume(spark, sf_dir)
+
+
+def _an_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import parts_supplier_counts
+
+    return parts_supplier_counts(spark, sf_dir)
+
+
+def _an_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikidata_qrank_spark.plans.analytics import best_supplier_per_part
+
+    return best_supplier_per_part(spark, sf_dir)
+
+
 def _td_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document (chunk-level) exact dedup: 10-token windows,
     first-occurrence-wins by global (doc_id, idx) order; only hashes
@@ -1453,6 +1492,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_countmin"] = _td_countmin
     out["td_countmin_est"] = _td_countmin_est
     out["td_chunk_dedup"] = _td_chunk_dedup
+    out["an_q17_small_qty"] = _an_q17_small_qty
+    out["an_q20_dominant"] = _an_q20_dominant
+    out["an_q11_important_parts"] = _an_q11_important_parts
+    out["an_q16_supplier_counts"] = _an_q16_supplier_counts
+    out["an_q2_best_supplier"] = _an_q2_best_supplier
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

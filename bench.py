@@ -144,6 +144,14 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
 
             return corpus_prep(spark, sf_dir).count()
 
+        def _countmin():
+            from pyspark.sql import functions as F
+
+            from wikidata_qrank_spark.operators.sketches import count_min
+
+            toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+            return count_min(toks, "token", depth=4, width=256).count()
+
         extended = {
             "q6_exact_dedup": lambda: dedup.exact_duplicate_groups(docs).count(),
             "q7_minhash_pairs": lambda: dedup.minhash_lsh_pairs(docs).count(),
@@ -165,6 +173,9 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             "q15_triangles": _triangles,
             # the composed corpus-prep capstone
             "q16_pipeline": _pipeline,
+            # round-5: sub-document dedup + mergeable CM sketch
+            "q17_chunk_dedup": lambda: dedup.chunk_dedup(docs).count(),
+            "q18_countmin": _countmin,
         }
         for name, action in extended.items():
             timings[name], trial_walls[name] = _timed_min(action)

@@ -2737,3 +2737,98 @@ SELECT doc_id,
        CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks
 FROM flag GROUP BY doc_id
 """
+
+
+ORACLES["an_q17_small_qty"] = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty_c,
+         CAST(count(*) AS BIGINT) AS n_li
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand = 'Brand#3'
+  AND CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * 5 * n_li < sum_qty_c
+"""
+
+
+ORACLES["an_q20_dominant"] = """
+WITH li AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1997 AND p_name LIKE '%red%'
+),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(qty_c) AS BIGINT) AS qty_s_c
+  FROM li GROUP BY l_partkey, l_suppkey
+),
+per_p AS (
+  SELECT l_partkey AS pk, CAST(sum(qty_c) AS BIGINT) AS qty_p_c
+  FROM li GROUP BY l_partkey
+),
+dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM per_ps JOIN per_p ON l_partkey = pk
+  WHERE qty_s_c * 2 > qty_p_c
+)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+"""
+
+
+ORACLES["an_q11_important_parts"] = """
+WITH per_part AS MATERIALIZED (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS value_c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT partkey, value_c
+FROM per_part
+WHERE value_c * 1000000 > 100 * (SELECT sum(value_c) FROM per_part)
+"""
+
+
+ORACLES["an_q16_supplier_counts"] = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_nationkey IN (3, 14))
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+ORACLES["an_q2_best_supplier"] = """
+WITH offers AS (
+  SELECT p_partkey,
+         CAST(floor(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) * 100
+                    / CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS unit_u,
+         s_suppkey, s_name, n_name AS nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND r_name = 'ASIA'
+)
+SELECT p_partkey AS partkey, s_suppkey, s_name, nation, unit_u
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY unit_u, s_suppkey) AS rn
+  FROM offers
+) WHERE rn = 1
+"""

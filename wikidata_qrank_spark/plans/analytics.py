@@ -1145,3 +1145,214 @@ def idle_rich_customers(
             F.sum(_cents(F.col("c_acctbal"))).cast("long").alias("totacctbal_c"),
         )
     )
+
+
+def brand_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#3"
+) -> DataFrame:
+    """TPC-H Q17 pattern (brand-scoped; the brand-blind decorrelated
+    form is small_quantity_revenue above): revenue from lineitems of one brand whose
+    quantity is below 20% of that part's average lineitem quantity.
+
+    The correlated scalar subquery (per-part avg over ALL lineitems of
+    the part, not just the brand's) becomes one per-part aggregate
+    joined back on partkey — both sides shuffle on the same key, so
+    the join is co-partitioned with no extra exchange. The threshold
+    compares cross-multiplied exact integers
+    (5 * qty_c * n_part < sum_qty_c  ⇔  qty < 0.2 * avg), so no float
+    average can differ between engines. The brand filter prunes the
+    part dim BEFORE its join; the per-part aggregate is brand-blind by
+    spec but carries only two longs per partkey."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+        F.count(F.lit(1)).cast("long").alias("n_li"),
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(
+            _cents(F.col("l_quantity")) * 5 * F.col("n_li")
+            < F.col("sum_qty_c")
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).cast("long")
+            .alias("revenue_c"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def dominant_part_suppliers(
+    spark: SparkSession, sf_dir: str,
+    name_token: str = "red", year: int = 1997,
+) -> DataFrame:
+    """TPC-H Q20 pattern, ADAPTED: suppliers holding a dominant share
+    of some part's shipped volume. The reference finds suppliers whose
+    partsupp availability exceeds half the year's shipped quantity;
+    this corpus has no partsupp (TESTDATA.md), so "excess" becomes
+    "shipped MORE THAN HALF of the part's total shipped quantity in
+    the year" — the same nested-aggregate + semi-join shape: inner
+    per-(part, supplier) aggregate, compared against a per-part
+    aggregate, collapsed to a DISTINCT supplier set that semi-joins
+    the supplier dim.
+
+    Scale: both aggregates shuffle on partkey (co-partitioned join);
+    the part dim is name-filtered before its join; the dominance test
+    is the exact integer inequality 2 * qty_supplier > qty_part. The
+    supplier dim is probed with a LEFT SEMI join — no row
+    multiplication, qualifying keys only."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(name_token)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.year(F.col("l_shipdate")) == year)
+        .join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("qty_s_c")
+    )
+    per_p = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("qty_p_c")
+    )
+    dominant = (
+        per_ps.join(per_p, per_ps.l_partkey == F.col("pk"))
+        .filter(F.col("qty_s_c") * 2 > F.col("qty_p_c"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+def important_part_volume(
+    spark: SparkSession, sf_dir: str, fraction_ppm: int = 100
+) -> DataFrame:
+    """TPC-H Q11 pattern, ADAPTED: parts whose shipped value exceeds a
+    fraction of the global total. The reference sums
+    ps_supplycost * ps_availqty over one nation's suppliers; with no
+    partsupp table (TESTDATA.md) the measure is shipped lineitem value
+    (extendedprice), keeping the defining shape: a grouped aggregate
+    HAVING-filtered against a GLOBAL scalar aggregate of the same
+    measure. The scalar is a 1-row broadcast; the comparison is the
+    exact integer cross-multiplication value * 1e6 > fraction_ppm *
+    total (fraction in parts-per-million), so no float threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("value_c")
+    )
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_c") * F.lit(1_000_000)
+            > F.lit(fraction_ppm) * F.col("total_c")
+        )
+        .select("partkey", "value_c")
+    )
+
+
+def parts_supplier_counts(
+    spark: SparkSession, sf_dir: str,
+    exclude_brand: str = "Brand#3",
+    sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+    exclude_nationkeys: tuple = (3, 14),
+) -> DataFrame:
+    """TPC-H Q16 pattern, ADAPTED: how many distinct suppliers can
+    deliver each (brand, type, size) part group, excluding one brand
+    and a supplier blacklist. The reference walks partsupp and
+    excludes suppliers by a comment pattern; here the part-supplier
+    relation is "shipped at least one lineitem of the part" and the
+    blacklist is a nation set (no s_comment in TESTDATA.md).
+
+    Shape preserved: dim-side NOT-filters prune part BEFORE the join,
+    the supplier blacklist is an anti-join (never NOT IN against a
+    subquery, which is null-hostile and forces a nested loop), and the
+    count is DISTINCT suppliers per group — a two-level aggregate:
+    dedup (group, supplier) pairs first (map-side combine applies),
+    then count, so hot part groups don't funnel raw lineitem rows into
+    one reducer."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != exclude_brand)
+        & F.col("p_size").isin(list(sizes))
+    )
+    s_bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(list(exclude_nationkeys)))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s_bad, li.l_suppkey == s_bad.s_suppkey, "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).cast("long").alias("supplier_cnt")
+    )
+
+
+def best_supplier_per_part(
+    spark: SparkSession, sf_dir: str,
+    region: str = "ASIA", size: int = 15,
+) -> DataFrame:
+    """TPC-H Q2 pattern, ADAPTED: for each part of one size, the
+    region's supplier offering it at the lowest price. The reference
+    takes min(ps_supplycost) over partsupp; with no partsupp
+    (TESTDATA.md) the offer relation is "shipped lineitems" and the
+    price is l_extendedprice/l_quantity, kept EXACT as the integer
+    pair (price_c = floor over the cheapest lineitem) by electing the
+    minimum (unit_price_scaled, suppkey) struct per (part, supplier)
+    and then per part — min-of-struct instead of a float min +
+    re-join, so ties break deterministically on suppkey.
+
+    Shape preserved from Q2: the region→nation→supplier dim chain
+    prunes the offer relation BEFORE aggregation (broadcast dims), and
+    the correlated `= (SELECT min ...)` collapses into a per-part
+    min-aggregate instead of a second scan. Unit price is scaled to
+    integer micro-units per cent-of-quantity: floor(ep*10^6/qty)
+    commutes between engines because both divide exact longs."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == size)
+    li = load_table(spark, sf_dir, "lineitem")
+    unit_u = F.floor(
+        _cents(F.col("l_extendedprice"), 10000) * F.lit(100)
+        / _cents(F.col("l_quantity"))
+    ).cast("long")
+    offers = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            F.struct(
+                unit_u.alias("unit_u"),
+                F.col("s_suppkey").alias("suppkey"),
+                F.col("s_name").alias("s_name"),
+                F.col("nation").alias("nation"),
+            ).alias("offer"),
+        )
+    )
+    best = offers.groupBy("p_partkey").agg(F.min("offer").alias("best"))
+    return best.select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("best.suppkey").alias("s_suppkey"),
+        F.col("best.s_name").alias("s_name"),
+        F.col("best.nation").alias("nation"),
+        F.col("best.unit_u").alias("unit_u"),
+    )
