@@ -996,6 +996,10 @@ def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registration order.
 _GATE_FIRST = (
     # new in round 5 (never verified by any driver round)
+    "kg_ppr",
+    "kg_label_prop",
+    "kg_harmonic",
+    "td_bm25_top_terms",
     "kg_two_hop_approx",
     "td_containment_scaled",
     "td_incremental_dedup",
@@ -1230,6 +1234,43 @@ def _kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata_qrank_spark.operators.graph import hits
 
     return hits(_kg_edges(spark, sf_dir), iters=3)
+
+
+def _kg_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode-LPA communities (3 synchronous rounds, min-label
+    tiebreak) — iterative join+window vs the identical unrolled-CTE
+    oracle; no-op rounds at a fixpoint keep the engines in lockstep."""
+    from wikidata_qrank_spark.operators.graph import label_propagation
+
+    return label_propagation(_kg_edges(spark, sf_dir), rounds=3)
+
+
+def _kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic centrality (8 landmarks, 4-hop cap) — exact
+    integer numerator sum(lcm//hops) so the aggregate is
+    order-proof; the Eppstein-Wang approximation is the 100 TB path
+    (exact closeness is all-pairs)."""
+    from wikidata_qrank_spark.operators.graph import harmonic_centrality
+
+    return harmonic_centrality(_kg_edges(spark, sf_dir), n_landmarks=8, max_hops=4)
+
+
+def _td_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-3 terms per document — the retrieval-grade
+    refinement of td_tfidf_top_terms (saturating tf, doc-length
+    normalization); same no-text-shuffle plan shape."""
+    from wikidata_qrank_spark.operators.textstats import bm25_top_terms
+
+    return bm25_top_terms(_documents(spark, sf_dir), k=3)
+
+
+def _kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (3 seeds = smallest node ids, 3 rounds)
+    — topic-conditioned entity relatedness; round6 per boundary keeps
+    the float fixpoint identical to the unrolled-CTE oracle."""
+    from wikidata_qrank_spark.operators.graph import personalized_pagerank
+
+    return personalized_pagerank(_kg_edges(spark, sf_dir), n_seeds=3, iters=3)
 
 
 def _td_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1497,6 +1538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["an_q11_important_parts"] = _an_q11_important_parts
     out["an_q16_supplier_counts"] = _an_q16_supplier_counts
     out["an_q2_best_supplier"] = _an_q2_best_supplier
+    out["kg_ppr"] = _kg_ppr
+    out["kg_label_prop"] = _kg_label_prop
+    out["kg_harmonic"] = _kg_harmonic
+    out["td_bm25_top_terms"] = _td_bm25
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

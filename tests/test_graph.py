@@ -221,3 +221,112 @@ def test_hits_star_graph(spark):
     # hub 1 links to all three sinks, hub 5 to the two strong ones:
     # both positive, and 1's extra (weaker) sink still wins
     assert rows[1].hub > rows[5].hub > 0.0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: LPA settles each
+    triangle on its minimum member id; the bridge does not merge
+    them (a single cross-neighbor never outvotes two in-clique
+    neighbors under the min-label tiebreak)."""
+    from wikidata_qrank_spark.operators.graph import label_propagation
+
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+    )
+    got = {r.node: r.community for r in label_propagation(e, rounds=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]
+
+
+def test_label_propagation_fixpoint_stable(spark):
+    """Extra rounds past the fixpoint change nothing (the contract
+    that lets the engine's early exit match a fixed-round oracle)."""
+    from wikidata_qrank_spark.operators.graph import label_propagation
+
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    a = sorted(tuple(r) for r in label_propagation(e, rounds=2).collect())
+    b = sorted(tuple(r) for r in label_propagation(e, rounds=6).collect())
+    assert a == b
+
+
+def test_harmonic_centrality_path(spark):
+    """Path 1-2-3-4-5 with landmarks = all nodes: harmonic_num is the
+    exact hand-computed sum of 12/dist over the other nodes."""
+    from wikidata_qrank_spark.operators.graph import harmonic_centrality
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {
+        r.node: (r.harmonic_num, r.harmonic)
+        for r in harmonic_centrality(e, n_landmarks=5, max_hops=4).collect()
+    }
+    # node 3 (center): dists 1,1,2,2 -> 12+12+6+6 = 36
+    assert got[3][0] == 36
+    # node 1 (end): dists 1,2,3,4 -> 12+6+4+3 = 25
+    assert got[1][0] == 25
+    assert got[1][1] == 25 / 12.0
+    # symmetry
+    assert got[1] == got[5] and got[2] == got[4]
+
+
+def test_harmonic_centrality_hop_cap_and_landmarks(spark):
+    """With max_hops=1 only direct landmark neighbors score; with a
+    1-landmark budget only the smallest id seeds distances."""
+    from wikidata_qrank_spark.operators.graph import harmonic_centrality
+
+    e = _edges(spark, [(1, 2), (2, 3)])
+    got = {
+        r.node: r.harmonic_num
+        for r in harmonic_centrality(e, n_landmarks=1, max_hops=1).collect()
+    }
+    # landmark 1: node 2 at dist 1 -> lcm(1..1)=1 -> 1; nodes 1,3 -> 0
+    assert got == {1: 0, 2: 1, 3: 0}
+
+
+def test_personalized_pagerank_two_cycle_hand_computed(spark):
+    """1<->2 with seed {1}, one iteration: rank(1) = (1-d)/1 = 0.15,
+    rank(2) = d * rank0(1)/outdeg = 0.85 — the restart mass goes to
+    the seed, the walk mass to its neighbor."""
+    from wikidata_qrank_spark.operators.graph import personalized_pagerank
+
+    e = _edges(spark, [(1, 2), (2, 1)])
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(e, n_seeds=1, iters=1).collect()
+    }
+    assert got == {1: 0.15, 2: 0.85}
+
+
+def test_personalized_pagerank_decays_from_seed(spark):
+    """3-cycle 1->2->3->1 with seed {1}, run to (near) convergence:
+    relatedness decays with walk distance from the seed. Converged
+    solution of r1 = 0.15 + .85*r3, r2 = .85*r1, r3 = .85*r2 is
+    r1 ≈ 0.3887 > r2 ≈ 0.3304 > r3 ≈ 0.2808; the initial unit pulse
+    decays by only ~0.85³ per 3-round lap, so after 12 rounds the
+    ordering is settled but values are still ~0.09 off the fixpoint —
+    assert ordering plus a coarse band, not the exact limit."""
+    from wikidata_qrank_spark.operators.graph import personalized_pagerank
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(e, n_seeds=1, iters=12).collect()
+    }
+    assert got[1] > got[2] > got[3] > 0.0
+    assert abs(got[1] - 0.15 / (1.0 - 0.85**3)) < 0.15
+
+
+def test_personalized_pagerank_differs_from_uniform(spark):
+    """On an asymmetric graph PPR(seed=min id) and uniform PageRank
+    disagree — the seed side is boosted."""
+    from wikidata_qrank_spark.operators.graph import pagerank
+    from wikidata_qrank_spark.operators.graph import personalized_pagerank
+
+    edges = [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)]
+    e = _edges(spark, edges)
+    ppr = {r.node: r.rank for r in personalized_pagerank(e, n_seeds=1, iters=3).collect()}
+    pr = {r.node: r.rank for r in pagerank(e, iters=3).collect()}
+    assert set(ppr) == set(pr) == {1, 2, 3, 4}
+    assert ppr[1] + ppr[2] > ppr[3] + ppr[4]
+    assert ppr != pr

@@ -243,3 +243,39 @@ def test_corpus_prep_strategies_equivalent(spark):
         spark.catalog.clearCache()
     assert results["lazy"] == results["checkpoint_ids"] == results["cache_text"]
     assert len(results["lazy"]) > 0
+
+
+def test_bm25_top_terms_hand_computed(spark):
+    """Two tiny docs; BM25 of doc 1's unique term matches the formula
+    evaluated by hand, and per-doc ranks are by score desc, term asc."""
+    import math
+
+    from wikidata_qrank_spark.operators.textstats import bm25_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    rows = bm25_top_terms(docs, k=3).collect()
+    got = {(r.doc_id, r.term): (r.tf, r.score, r.term_rank) for r in rows}
+    n, avgdl = 2.0, 5 / 2.0
+    # doc 1, 'apple': tf=2, df=1, dl=3
+    idf = math.log(1.0 + (n - 1 + 0.5) / (1 + 0.5))
+    denom = 2 + 1.2 * (0.25 + 0.75 * 3 / avgdl)
+    expect = math.floor(idf * (2 * 2.2) / denom * 1e6 + 0.5) / 1e6
+    assert got[(1, "apple")] == (2, expect, 1)
+    # 'banana' appears in both docs -> idf ln(1 + 0.5/2.5), positive
+    assert got[(1, "banana")][2] == 2 and got[(1, "banana")][1] > 0
+    # doc 2 rank order: cherry (df=1) outscores banana (df=2)
+    assert got[(2, "cherry")][2] == 1 and got[(2, "banana")][2] == 2
+
+
+def test_bm25_ignores_empty_tokens_and_tokenless_docs(spark):
+    from wikidata_qrank_spark.operators.textstats import bm25_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a  b"), (2, "")], "doc_id long, text string"
+    )
+    rows = bm25_top_terms(docs, k=3).collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert {r.term for r in rows} == {"a", "b"}

@@ -503,3 +503,233 @@ def hits(
             .localCheckpoint(eager=True)
         )
     return scores
+
+
+def _undirected_simple(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Distinct undirected simple edge set (both directions present,
+    self-loops dropped), lineage-truncated once at the base."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    return (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(node, community) — synchronous mode label propagation (LPA
+    community detection) over the undirected simple graph, ``rounds``
+    iterations.
+
+    Deterministic recurrence (the oracle unrolls the identical CTEs):
+    lbl_0(v) = v; lbl_{t+1}(v) = the most frequent label among v's
+    neighbors at time t, ties broken toward the SMALLEST label. Every
+    node in the edge set has >= 1 neighbor, so the update is total. At
+    a fixpoint further rounds are no-ops, so a fixed round count keeps
+    both engines in lockstep even when the loop exits early (a round
+    that changes no label).
+
+    Scale: per round one edge-keyed join (labels are node-sized — AQE
+    broadcasts when small, sort-merge on the node key otherwise), one
+    (node, label) count aggregation, and one per-node top-1 window —
+    all shuffles keyed on the node, bounded by |E|; no row-multiplying
+    self-join. Lineage is truncated per round (``localCheckpoint``,
+    see operators/clusters.py), so the plan stays flat for any round
+    count.
+    """
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = _undirected_simple(edges, src, dst)
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(rounds):
+        new = (
+            und.join(
+                labels.select(F.col("node").alias("v"), "lbl"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new.join(
+                labels.select("node", F.col("lbl").alias("lbl_old")), "node"
+            )
+            .filter(F.col("lbl") != F.col("lbl_old"))
+            .count()
+        )
+        labels = new
+        if n_changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    max_hops: int = 4,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(node, harmonic_num, harmonic) — landmark-approximated harmonic
+    centrality over the undirected simple graph: bounded multi-source
+    BFS from the ``n_landmarks`` smallest node ids, then
+    harmonic(v) = Σ_{lm ≠ v reached} 1/dist(lm, v) truncated at
+    ``max_hops`` hops.
+
+    Exactness contract: per-landmark contributions are summed as the
+    INTEGER numerator ``harmonic_num`` = Σ L/dist with
+    L = lcm(1..max_hops) (12 for the default 4), so the aggregate is
+    order-proof exact integer math — the same trick as the HLL
+    register fold; ``harmonic`` = harmonic_num / L is one final
+    division from identical integers in both engines. The oracle
+    unrolls the identical per-hop min-distance recurrence.
+
+    Scale: landmark selection is a sort-limit on the node dim (k rows
+    collect nothing); each hop is one frontier⋈edges join plus a
+    (lm, node) min-aggregation — state is at most
+    n_landmarks × |nodes| rows, shuffles keyed on the node, frontier
+    shrinks as distances settle. Lineage truncated per hop. This is
+    the standard landmark/pivot approximation (Eppstein–Wang) — exact
+    closeness needs all-pairs, which is not a 100 TB operation.
+    """
+    import math
+
+    if n_landmarks < 1:
+        raise ValueError(f"n_landmarks must be >= 1, got {n_landmarks}")
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    scale = math.lcm(*range(1, max_hops + 1))
+    und = _undirected_simple(edges, src, dst)
+    nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    lms = nodes.orderBy("node").limit(n_landmarks)
+    dist = lms.select(
+        F.col("node").alias("lm"),
+        "node",
+        F.lit(0).cast("long").alias("hops"),
+    ).localCheckpoint(eager=True)
+    for r in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("hops") == r - 1)
+        cand = frontier.join(
+            und.select(F.col("u").alias("node"), "v"), "node"
+        ).select("lm", F.col("v").alias("node"), F.lit(r).cast("long").alias("hops"))
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("lm", "node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    contrib = dist.filter(F.col("hops") > 0).groupBy("node").agg(
+        F.sum(F.lit(scale).cast("long") / F.col("hops")).cast("long").alias(
+            "harmonic_num"
+        )
+    )
+    return nodes.join(contrib, "node", "left").select(
+        "node",
+        F.coalesce("harmonic_num", F.lit(0)).cast("long").alias("harmonic_num"),
+        (
+            F.coalesce("harmonic_num", F.lit(0)).cast("long")
+            / F.lit(float(scale))
+        ).alias("harmonic"),
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    n_seeds: int = 3,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(node, rank) — personalized PageRank: the damped walk restarts
+    at a SEED SET (the ``n_seeds`` smallest node ids — deterministic)
+    instead of uniformly, so ranks measure relatedness TO the seeds,
+    the entity-relatedness signal used for topic-conditioned entity
+    ranking. Same deterministic recurrence contract as
+    :func:`pagerank` (round6 per boundary, dangling mass dropped,
+    oracle unrolls the identical CTEs):
+
+    s(v) = 1/n_seeds on seeds else 0; rank_0 = round6(s);
+    rank_{t+1}(v) = round6((1-d)·s(v) + d·Σ_{u→v} rank_t(u)/outdeg(u)).
+
+    (If the graph has fewer than n_seeds nodes, both engines still
+    divide by n_seeds — total mass shrinks but they agree exactly.)
+
+    Scale: identical plan shape to pagerank — per iteration one
+    edge-keyed join + per-dst sum; the seed indicator is a node-dim
+    left join (n_seeds rows — always broadcast-able); lineage
+    truncated per round.
+    """
+    if n_seeds < 1:
+        raise ValueError(f"n_seeds must be >= 1, got {n_seeds}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.count() == 0:
+        return edges.sparkSession.createDataFrame([], "node long, rank double")
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    graph = e.join(outdeg, "u").localCheckpoint(eager=True)
+    seeds = nodes.orderBy("node").limit(n_seeds).withColumn(
+        "is_seed", F.lit(True)
+    )
+    marked = nodes.join(F.broadcast(seeds), "node", "left").select(
+        "node", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+    ).localCheckpoint(eager=True)
+    seed0 = 1.0 / n_seeds
+    base_seed = (1.0 - damping) * (1.0 / n_seeds)
+    base_expr = F.when(F.col("is_seed"), F.lit(base_seed)).otherwise(F.lit(0.0))
+    ranks = marked.select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed"), round6(F.lit(seed0)))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            graph.join(
+                ranks.select(F.col("node").alias("u"), "rank"), "u"
+            )
+            .select("v", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            marked.join(contrib.withColumnRenamed("v", "node"), "node", "left")
+            .select(
+                "node",
+                "is_seed",
+                round6(
+                    base_expr
+                    + F.lit(damping) * F.coalesce("incoming", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")

@@ -509,3 +509,70 @@ def language_token_stats(documents: DataFrame, text_col: str = "text") -> DataFr
             round6(F.sum("n_tokens") / F.count(F.lit(1))).alias("mean_tokens"),
         )
     )
+
+
+def bm25_top_terms(
+    documents: DataFrame,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, score, term_rank) — top-k terms per document
+    by Okapi BM25 weight, the retrieval-grade refinement of
+    :func:`tfidf_top_terms` (saturating tf, document-length
+    normalization): score = idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    b·dl/avgdl)) with the robust idf = ln(1 + (N − df + 0.5)/(df +
+    0.5)).
+
+    Exactness contract: tf, df, dl are exact longs; avgdl is ONE
+    double division of two exact integer sums (Σdl / N over ALL
+    documents, including token-less ones); the score expression is
+    evaluated in the same literal operation order in both engines, and
+    round6 absorbs last-ulp libm ln differences — the tfidf contract.
+
+    Plan shape mirrors tfidf_top_terms: one explode → (doc, term)
+    count; df and dl both derive from that aggregate (terms ≪ tokens);
+    the vocab-scale df dim joins on the term key with no hard
+    broadcast hint (AQE decides); avgdl is a 1-row broadcast. The
+    corpus text never shuffles — only (doc, term, tf) rows do."""
+    from pyspark.sql import Window
+
+    from ..functions.precision import round6
+
+    n_docs = documents.count()
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    avgdl = tf.agg(
+        (F.sum("tf").cast("double") / F.lit(float(n_docs))).alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "score", round6(idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "score", "term_rank")
+    )

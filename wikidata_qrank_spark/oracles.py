@@ -2832,3 +2832,181 @@ FROM (
   FROM offers
 ) WHERE rn = 1
 """
+
+
+def _label_prop_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous mode-LPA recurrence mirroring
+    operators/graph.py:label_propagation — per round, each node takes
+    the most frequent neighbor label, ties toward the smallest; at a
+    fixpoint extra rounds are no-ops, so the engine's early exit and
+    this fixed unroll agree."""
+    ctes = [
+        """,
+undlp AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v, u FROM edges WHERE u <> v
+),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM undlp)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f""",
+l{r} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT e.u AS node, l.lbl AS lbl,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY count(*) DESC, l.lbl ASC) AS rn
+    FROM undlp e JOIN l{r - 1} l ON l.node = e.v
+    GROUP BY e.u, l.lbl
+  ) WHERE rn = 1
+)"""
+        )
+    return kg_sql(
+        _EDGES_CTE
+        + "".join(ctes)
+        + f"\nSELECT node, lbl AS community FROM l{rounds}\n"
+    )
+
+
+ORACLES["kg_label_prop"] = _label_prop_sql(3)
+
+
+def _harmonic_sql(n_landmarks: int = 8, max_hops: int = 4) -> str:
+    """Unrolled landmark harmonic centrality mirroring
+    operators/graph.py:harmonic_centrality — per-hop min-distance
+    relaxation from the n smallest node ids, integer numerator
+    sum(lcm // hops) so the aggregate is order-proof exact."""
+    import math
+
+    scale = math.lcm(*range(1, max_hops + 1))
+    ctes = [
+        f""",
+undh AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v, u FROM edges WHERE u <> v
+),
+lmh AS (SELECT node FROM nodes ORDER BY node LIMIT {n_landmarks}),
+d0 AS (SELECT node AS lm, node, CAST(0 AS BIGINT) AS hops FROM lmh)"""
+    ]
+    for r in range(1, max_hops + 1):
+        ctes.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT lm, node, CAST(min(hops) AS BIGINT) AS hops FROM (
+    SELECT lm, node, hops FROM d{r - 1}
+    UNION ALL
+    SELECT d.lm, e.v AS node, d.hops + 1 AS hops
+    FROM d{r - 1} d JOIN undh e ON e.u = d.node
+    WHERE d.hops = {r - 1}
+  ) GROUP BY lm, node
+)"""
+        )
+    return kg_sql(
+        _EDGES_CTE
+        + "".join(ctes)
+        + f"""
+SELECT n.node,
+       CAST(COALESCE(s.hn, 0) AS BIGINT) AS harmonic_num,
+       CAST(COALESCE(s.hn, 0) AS BIGINT) / {float(scale)!r} AS harmonic
+FROM nodes n LEFT JOIN (
+  SELECT node, sum({scale} // hops) AS hn
+  FROM d{max_hops} WHERE hops > 0 GROUP BY node
+) s ON n.node = s.node
+"""
+    )
+
+
+ORACLES["kg_harmonic"] = _harmonic_sql(8, 4)
+
+
+def _bm25_sql(k: int = 3, k1: float = 1.2, b: float = 0.75) -> str:
+    """Okapi BM25 top-k terms mirroring textstats.py:bm25_top_terms.
+    Float literals are emitted with repr() of the SAME Python doubles
+    the Spark expression uses (k1+1, 1-b), so both engines evaluate
+    the identical operation sequence on identical doubles; round6
+    absorbs libm ln ulp differences (the tfidf contract)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE length(term) > 0 GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+ad AS (
+  SELECT (SELECT CAST(sum(tf) AS DOUBLE) FROM tf)
+         / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
+),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         floor(ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * {k1 + 1.0!r})
+               / (t.tf + {k1!r} * ({1.0 - b!r} + {b!r} * l.dl / ad.avgdl))
+               * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM tf t JOIN df d ON t.term = d.term JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN n CROSS JOIN ad
+)
+SELECT doc_id, term, tf, score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS BIGINT) AS term_rank
+FROM scored
+QUALIFY term_rank <= {k}
+"""
+
+
+ORACLES["td_bm25_top_terms"] = _bm25_sql(3)
+
+
+def _ppr_sql(n_seeds: int = 3, iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank recurrence mirroring
+    operators/graph.py:personalized_pagerank — restart mass goes to
+    the n smallest node ids instead of uniformly. Float literals are
+    repr() of the SAME Python doubles the Spark code computes
+    (1/n_seeds, (1-d)/n_seeds), and round6 is applied per iteration,
+    so the float fixpoint is identical in both engines."""
+    seed0 = 1.0 / n_seeds
+    base_seed = (1.0 - damping) * (1.0 / n_seeds)
+    d = repr(damping)
+    ctes = [
+        f",\nsd AS (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds})",
+        ",\nodeg AS (SELECT u, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY u)",
+        f""",
+p0 AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN floor(CAST({seed0!r} AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0
+              ELSE 0.0 END AS rank
+  FROM nodes n LEFT JOIN sd s ON n.node = s.node
+)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f""",
+pc{t} AS (
+  SELECT e.v AS node, sum(r.rank / o.outdeg) AS incoming
+  FROM edges e JOIN p{t - 1} r ON e.u = r.node JOIN odeg o ON e.u = o.u
+  GROUP BY e.v
+),
+p{t} AS (
+  SELECT n.node,
+         floor((CASE WHEN s.node IS NOT NULL
+                     THEN CAST({base_seed!r} AS DOUBLE) ELSE 0.0 END
+                + CAST({d} AS DOUBLE) * COALESCE(c.incoming, 0.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS rank
+  FROM nodes n LEFT JOIN sd s ON n.node = s.node
+  LEFT JOIN pc{t} c ON n.node = c.node
+)"""
+        )
+    return kg_sql(
+        _EDGES_CTE + "".join(ctes) + f"\nSELECT node, rank FROM p{iters}\n"
+    )
+
+
+ORACLES["kg_ppr"] = _ppr_sql(3, 3, 0.85)
