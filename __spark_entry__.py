@@ -996,6 +996,10 @@ def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registration order.
 _GATE_FIRST = (
     # new in round 5 (never verified by any driver round)
+    "kg_fact_fusion",
+    "kg_negative_samples",
+    "td_span_dedup",
+    "td_mixture_resample",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1273,6 +1277,65 @@ def _kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(_kg_edges(spark, sf_dir), n_seeds=3, iters=3)
 
 
+def _kg_fact_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TruthFinder-style fact fusion over per-document claims — one
+    majority-bootstrap → integer-ppm reliability → weighted re-vote
+    round; every aggregate is a sum/count of longs so the DuckDB
+    oracle replays the identical recurrence."""
+    from wikidata_qrank_spark.operators.fusion import claims, fact_fusion
+
+    tm = build_graph(spark, sf_dir)["text_mentions"]
+    return fact_fusion(claims(tm))
+
+
+def _kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic filtered negative sampling for entity-linking
+    training (k=2) — hash60 corruption of the document→entity
+    relation through a dense two-phase global index, anti-joined
+    against the true mention set; the oracle regenerates the sample
+    bit-for-bit. (The entity co-occurrence graph in this fixture is
+    complete — every corruption of it is a true triple — so the
+    bipartite doc→item relation is the non-vacuous target.)"""
+    from wikidata_qrank_spark.operators.negatives import negative_samples
+
+    de = (
+        build_graph(spark, sf_dir)["text_mentions"]
+        .select("doc_id", "item_id")
+        .distinct()
+    )
+    return negative_samples(de, k=2, src="doc_id", dst="item_id", pool="dst")
+
+
+def _td_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-gram span dedup (Lee et al. ExactSubstr, Spark-first):
+    per-document maximal token intervals covered by a cross-document
+    duplicated 8-gram — the partial-overlap dedup the document-level
+    minhash family can't see. Only (doc_id, offset, hash) rows
+    shuffle; the island merge is per-document window work."""
+    from wikidata_qrank_spark.operators.spandedup import duplicated_spans
+
+    return duplicated_spans(_documents(spark, sf_dir), n=8, min_docs=2)
+
+
+def _td_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-targeted deterministic resampling (DoReMi-style domain
+    reweighting, downsampling case): exact integer bottleneck-size /
+    rate derivation + portable md5 Bernoulli verdicts, regenerated
+    bit-for-bit by the oracle."""
+    from wikidata_qrank_spark.operators.sampling import mixture_resample
+
+    targets = {
+        "en": 400000,
+        "de": 150000,
+        "fr": 150000,
+        "es": 150000,
+        "zh": 150000,
+    }
+    return mixture_resample(
+        _documents(spark, sf_dir), "lang", "doc_id", targets
+    ).select("doc_id", "lang")
+
+
 def _td_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _documents(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("token")
@@ -1542,6 +1605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_label_prop"] = _kg_label_prop
     out["kg_harmonic"] = _kg_harmonic
     out["td_bm25_top_terms"] = _td_bm25
+    out["kg_fact_fusion"] = _kg_fact_fusion
+    out["kg_negative_samples"] = _kg_negative_samples
+    out["td_span_dedup"] = _td_span_dedup
+    out["td_mixture_resample"] = _td_mixture_resample
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

@@ -59,3 +59,63 @@ def stratified_sample(
         .filter(h % 1000 < F.coalesce(F.col("__permille"), F.lit(default_permille)))
         .drop("__permille")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    targets_ppm: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample ``df`` toward a target group mixture (DoReMi/Pile-style
+    domain reweighting, the downsampling case): given target shares in
+    ppm per stratum, find the largest total size the bottleneck stratum
+    can supply and keep a deterministic hash-Bernoulli sample of each
+    stratum at the rate that lands its share on target.
+
+    All arithmetic is exact long division (Spark ``div`` == DuckDB
+    ``//`` on non-negative counts), and the per-row verdict is the
+    portable md5 hash — so the sample is partition/retry-proof and the
+    oracle regenerates it bit-for-bit. Strata missing from
+    ``targets_ppm`` get share 0 (dropped). Rates are derived from a
+    groups-cardinality aggregation (map-side partials) and ride a dim
+    join back; the dim is #strata rows — config-bounded, not
+    data-scaled — so the join is always broadcast-eligible (left to
+    AQE, no hint).
+    """
+    if not targets_ppm:
+        raise ValueError("targets_ppm must be non-empty")
+    for k, v in targets_ppm.items():
+        if v <= 0:
+            raise ValueError(f"target for {k!r} must be > 0 ppm, got {v}")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, v) for k, v in targets_ppm.items()],
+        f"{stratum_col} string, __t_ppm long",
+    )
+    grp = (
+        df.join(F.broadcast(tgt), stratum_col)
+        .groupBy(stratum_col, "__t_ppm")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    smax = grp.agg(
+        F.min(F.expr("(__n * 1000000) div __t_ppm")).cast("long").alias("__s")
+    )
+    rates = (
+        grp.crossJoin(F.broadcast(smax))
+        .withColumn(
+            "__rate_ppm",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr("((__s * __t_ppm) div 1000000) * 1000000 div __n"),
+            ),
+        )
+        .select(stratum_col, "__rate_ppm")
+    )
+    h = hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return (
+        df.join(rates, stratum_col)
+        .filter(h % 1000000 < F.col("__rate_ppm"))
+        .drop("__rate_ppm")
+    )

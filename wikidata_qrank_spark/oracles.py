@@ -3010,3 +3010,168 @@ p{t} AS (
 
 
 ORACLES["kg_ppr"] = _ppr_sql(3, 3, 0.85)
+
+
+# Truth discovery / fact fusion (operators/fusion.py): one
+# TruthFinder-style round — majority bootstrap, integer-ppm source
+# reliability (floor division of non-negative longs, so Spark `div`
+# and DuckDB `//` agree), reliability-weighted re-vote. Claims are
+# per-document consecutive-mention instances (NOT deduped — the
+# document is the source).
+ORACLES["kg_fact_fusion"] = kg_sql(
+    """
+, claims AS (
+  SELECT doc_id AS source_id, item_id AS subj_id, next_id AS obj_id
+  FROM (
+    SELECT doc_id, item_id,
+           lead(item_id) OVER (PARTITION BY doc_id ORDER BY "offset") AS next_id
+    FROM tmentions
+  )
+  WHERE next_id IS NOT NULL AND next_id <> item_id
+),
+votes0 AS (
+  SELECT subj_id, obj_id, CAST(count(DISTINCT source_id) AS BIGINT) AS ns
+  FROM claims GROUP BY subj_id, obj_id
+),
+winner0 AS (
+  SELECT subj_id, obj_id AS win0
+  FROM (
+    SELECT subj_id, obj_id,
+           row_number() OVER (PARTITION BY subj_id
+                              ORDER BY ns DESC, obj_id ASC) AS rn
+    FROM votes0
+  )
+  WHERE rn = 1
+),
+rel AS (
+  SELECT c.source_id,
+         CAST((sum(CASE WHEN c.obj_id = w.win0 THEN 1 ELSE 0 END)
+               * 1000000) // count(*) AS BIGINT) AS r_ppm
+  FROM claims c JOIN winner0 w ON c.subj_id = w.subj_id
+  GROUP BY c.source_id
+),
+weighted AS (
+  SELECT c.subj_id, c.obj_id,
+         CAST(sum(r.r_ppm) AS BIGINT) AS weight_ppm,
+         CAST(count(DISTINCT c.source_id) AS BIGINT) AS n_sources
+  FROM claims c JOIN rel r ON c.source_id = r.source_id
+  GROUP BY c.subj_id, c.obj_id
+)
+SELECT subj_id, obj_id, weight_ppm, n_sources
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY subj_id
+                               ORDER BY weight_ppm DESC, obj_id ASC) AS rn
+  FROM weighted
+)
+WHERE rn = 1
+"""
+)
+
+
+# Deterministic filtered negative sampling (operators/negatives.py):
+# the corrupted object is hash60('neg:'||src||':'||dst||':'||i) mod
+# |pool| mapped through a dense 1-based index over the dst-side
+# entity pool (bipartite doc→entity linking), minus true pairs —
+# both engines regenerate the identical sample bit-for-bit
+# (portable md5 hash, row_number index).
+ORACLES["kg_negative_samples"] = kg_sql(
+    """
+, edges AS (
+  SELECT DISTINCT doc_id AS src_id, item_id AS dst_id FROM tmentions
+),
+indexed AS (
+  SELECT node, CAST(row_number() OVER (ORDER BY node ASC) AS BIGINT) AS idx
+  FROM (SELECT DISTINCT dst_id AS node FROM edges)
+),
+nn AS (SELECT max(idx) AS n FROM indexed),
+drawn AS (
+  SELECT e.src_id, e.dst_id, g.i,
+         (CAST('0x' || substr(md5('neg:' || e.src_id
+                                  || ':' || CAST(e.dst_id AS VARCHAR)
+                                  || ':' || CAST(g.i AS VARCHAR)), 1, 15)
+               AS BIGINT) % nn.n) + 1 AS idx
+  FROM edges e
+  CROSS JOIN (SELECT CAST(unnest([0, 1]) AS BIGINT) AS i) g
+  CROSS JOIN nn
+)
+SELECT d.src_id, d.dst_id, x.node AS neg_id, d.i
+FROM drawn d
+JOIN indexed x ON d.idx = x.idx
+WHERE NOT EXISTS (SELECT 1 FROM edges t
+                  WHERE t.src_id = d.src_id AND t.dst_id = x.node)
+"""
+)
+
+
+# Exact n-gram span dedup (operators/spandedup.py): positions covered
+# by an 8-gram occurring in >= 2 distinct documents, merged into
+# maximal [start, end) islands per document. Pure integer/md5
+# relation — the oracle replays tokenize → lead-window grams → dup
+# hash set → island merge identically.
+ORACLES["td_span_dedup"] = kg_sql(
+    """
+, grams AS (
+  SELECT doc_id, "offset",
+         md5(token || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4
+                   || ' ' || l5 || ' ' || l6 || ' ' || l7) AS h
+  FROM (SELECT doc_id, "offset", token,
+               lead(token, 1) OVER w AS l1, lead(token, 2) OVER w AS l2,
+               lead(token, 3) OVER w AS l3, lead(token, 4) OVER w AS l4,
+               lead(token, 5) OVER w AS l5, lead(token, 6) OVER w AS l6,
+               lead(token, 7) OVER w AS l7
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY "offset"))
+  WHERE l7 IS NOT NULL
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+pos AS (SELECT g.doc_id, g."offset" FROM grams g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, "offset",
+         max("offset" + 8) OVER (PARTITION BY doc_id ORDER BY "offset"
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pmax
+  FROM pos
+),
+isl2 AS (
+  SELECT doc_id, "offset",
+         sum(CASE WHEN pmax IS NULL OR "offset" > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY "offset") AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min("offset") AS BIGINT) AS span_start,
+       CAST(max("offset") + 8 AS BIGINT) AS span_end,
+       CAST(max("offset") + 8 - min("offset") AS BIGINT) AS span_tokens
+FROM isl2 GROUP BY doc_id, island
+"""
+)
+
+
+# Mixture-targeted resampling (operators/sampling.py mixture_resample):
+# integer bottleneck-size / per-stratum-rate derivation plus the
+# portable md5 per-row verdict — both engines regenerate the sample
+# exactly. Targets: en 40%, de/fr/es/zh 15% each (ppm).
+ORACLES["td_mixture_resample"] = """
+WITH tgt AS (
+  SELECT * FROM (VALUES ('en', CAST(400000 AS BIGINT)),
+                        ('de', CAST(150000 AS BIGINT)),
+                        ('fr', CAST(150000 AS BIGINT)),
+                        ('es', CAST(150000 AS BIGINT)),
+                        ('zh', CAST(150000 AS BIGINT))) t(lang, t_ppm)
+),
+grp AS (
+  SELECT d.lang, t.t_ppm, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN tgt t ON d.lang = t.lang
+  GROUP BY d.lang, t.t_ppm
+),
+smax AS (SELECT min((n * 1000000) // t_ppm) AS s FROM grp),
+rates AS (
+  SELECT g.lang,
+         LEAST(CAST(1000000 AS BIGINT),
+               ((x.s * g.t_ppm) // 1000000) * 1000000 // g.n) AS rate_ppm
+  FROM grp g CROSS JOIN smax x
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) % 1000000 < r.rate_ppm
+"""
