@@ -1000,6 +1000,7 @@ _GATE_FIRST = (
     "kg_negative_samples",
     "td_span_dedup",
     "td_mixture_resample",
+    "kg_clustering_coeff",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1336,6 +1337,16 @@ def _td_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _kg_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient as exact integer ppm — entity
+    neighborhood density, the standard KG-quality signal next to
+    degree/PageRank; triangle counts reuse the degree-ordered
+    orientation plan."""
+    from wikidata_qrank_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_kg_edges(spark, sf_dir))
+
+
 def _td_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _documents(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("token")
@@ -1609,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_negative_samples"] = _kg_negative_samples
     out["td_span_dedup"] = _td_span_dedup
     out["td_mixture_resample"] = _td_mixture_resample
+    out["kg_clustering_coeff"] = _kg_clustering_coeff
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

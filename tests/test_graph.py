@@ -330,3 +330,25 @@ def test_personalized_pagerank_differs_from_uniform(spark):
     assert set(ppr) == set(pr) == {1, 2, 3, 4}
     assert ppr[1] + ppr[2] > ppr[3] + ppr[4]
     assert ppr != pr
+
+
+def test_clustering_coefficient_golden(spark):
+    """Two triangles sharing node 3 plus a pendant: node 3 has deg 4
+    and 2 triangles -> cc = 2*2/(4*3) = 1/3; triangle-only nodes have
+    cc 1; the pendant chain node keeps cc 0 via the left join."""
+    from wikidata_qrank_spark.operators.graph import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (5, 6)],
+        "src_id long, dst_id long",
+    )
+    got = {r.node: (r.deg, r.n_triangles, r.cc_ppm) for r in
+           clustering_coefficient(edges).collect()}
+    assert got == {
+        1: (2, 1, 1000000),
+        2: (2, 1, 1000000),
+        3: (4, 2, 333333),
+        4: (2, 1, 1000000),
+        5: (3, 1, 333333),
+        6: (1, 0, 0),
+    }

@@ -116,6 +116,49 @@ def triangles(
     )
 
 
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src_id", dst: str = "dst_id"
+) -> DataFrame:
+    """(node, deg, n_triangles, cc_ppm) — local clustering coefficient
+    over the undirected simple graph, as exact integer ppm:
+    ``(2·tri·10⁶) div (deg·(deg−1))`` for deg ≥ 2, else 0 — so the
+    aggregate is order-proof and the oracle replays it exactly.
+
+    Triangle counts come from :func:`triangles` (degree-ordered
+    orientation — the power-law-safe plan); degree is one keyed
+    aggregation over the deduped undirected edge list; the final join
+    is node-keyed. Nodes in no triangle keep cc_ppm 0 via the left
+    join (every edge endpoint appears in ``deg``)."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
+        F.col(src) != F.col(dst)
+    )
+    und = e.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangles(edges, src, dst)
+    return (
+        deg.join(tri, "node", "left")
+        .withColumn(
+            "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "cc_ppm",
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     source: int,

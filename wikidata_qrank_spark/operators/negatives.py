@@ -54,12 +54,20 @@ def negative_samples(
         raise ValueError(f"k must be >= 1, got {k}")
     if pool not in ("both", "dst"):
         raise ValueError(f"pool must be 'both' or 'dst', got {pool!r}")
-    e = edges.select(F.col(src).alias("src_id"), F.col(dst).alias("dst_id")).distinct()
+    # e feeds three branches (node pool, corruption draw, anti-join)
+    # and indexed feeds two (count, idx→node map); persist both or the
+    # upstream pipeline re-executes once per branch — the same
+    # diamond-reuse rule as plans/pipeline.py's dictionary persist.
+    e = (
+        edges.select(F.col(src).alias("src_id"), F.col(dst).alias("dst_id"))
+        .distinct()
+        .persist()
+    )
     nodes = e.select(F.col("dst_id").alias("node"))
     if pool == "both":
         nodes = nodes.unionByName(e.select(F.col("src_id").alias("node")))
     nodes = nodes.distinct()
-    indexed = global_row_number(nodes, [F.col("node").asc()], rank_col="idx")
+    indexed = global_row_number(nodes, [F.col("node").asc()], rank_col="idx").persist()
     nn = indexed.agg(F.max("idx").alias("__n"))
     drawn = (
         e.withColumn("i", F.explode(F.array(*[F.lit(j) for j in range(k)])))

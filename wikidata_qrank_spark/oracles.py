@@ -3175,3 +3175,41 @@ FROM documents d JOIN rates r ON d.lang = r.lang
 WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
            AS BIGINT) % 1000000 < r.rate_ppm
 """
+
+
+# Local clustering coefficient (operators/graph.py
+# clustering_coefficient): exact integer ppm from the plain ordered
+# 3-way-join triangle count (independent of the engine's
+# degree-ordered orientation) and the undirected simple-graph degree.
+ORACLES["kg_clustering_coeff"] = kg_sql(
+    _EDGES_CTE
+    + """
+, und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM edges WHERE u <> v
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+  GROUP BY node
+)
+SELECT d.node, d.deg,
+       COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+       CAST(CASE WHEN d.deg >= 2
+                 THEN (2 * COALESCE(t.n_triangles, 0) * 1000000)
+                      // (d.deg * (d.deg - 1))
+                 ELSE 0 END AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+"""
+)
