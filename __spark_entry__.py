@@ -1001,6 +1001,13 @@ _GATE_FIRST = (
     "td_span_dedup",
     "td_mixture_resample",
     "kg_clustering_coeff",
+    "kg_neighborhood",
+    "kg_eff_diameter",
+    "kg_assortativity",
+    "kg_link_prediction",
+    "kg_random_walks",
+    "kg_entity_match",
+    "kg_entity_embeddings",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1347,6 +1354,84 @@ def _kg_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(_kg_edges(spark, sf_dir))
 
 
+def _kg_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighborhood function (hops 1-3): HLL-sketched
+    out-ball sizes per entity — the distance-distribution primitive
+    (effective diameter, centrality-by-reach) that exact h-hop BFS
+    sets can't survive on power-law graphs; register recurrence is
+    bit-replayed by the oracle per round."""
+    from wikidata_qrank_spark.operators.graph import neighborhood_function
+
+    return neighborhood_function(_kg_edges(spark, sf_dir), max_hops=3)
+
+
+def _kg_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90‰ effective diameter from the HyperANF distance distribution:
+    per-hop reachable-pair totals as order-free BIGINT micro sums +
+    one interpolating division on the constant-size hop table."""
+    from wikidata_qrank_spark.operators.graph import effective_diameter
+
+    return effective_diameter(_kg_edges(spark, sf_dir), max_hops=3)
+
+
+def _kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed out-in degree assortativity (Newman r) of the
+    doc→entity incidence graph — doc fan-out vs entity popularity
+    correlation (the co-mention triple graph is near-complete at this
+    vocabulary, so its degrees are constant and r degenerates to NULL;
+    the bipartite incidence is the skew-bearing graph). Exact BIGINT
+    moment sums, one Pearson ratio on the single output row."""
+    from wikidata_qrank_spark.operators.graph import assortativity
+
+    edges = (
+        build_graph(spark, sf_dir)["text_mentions"]
+        .select(
+            F.col("doc_id").alias("src_id"), F.col("item_id").alias("dst_id")
+        )
+        .distinct()
+    )
+    return assortativity(edges)
+
+
+def _kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (CN count, neighborhood
+    Jaccard, Adamic-Adar in micro units) through stop-hub-capped mids
+    — the capped wedge join that stays |E|·D at Zipf degree."""
+    from wikidata_qrank_spark.operators.graph import link_prediction
+
+    return link_prediction(_kg_edges(spark, sf_dir))
+
+
+def _kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus: 2 walks × 4 steps per node via
+    portable-hash neighbor picks over ranked adjacency — the skip-gram
+    training sequences for KG embeddings, bit-replayable by DuckDB."""
+    from wikidata_qrank_spark.operators.graph import random_walks
+
+    return random_walks(_kg_edges(spark, sf_dir))
+
+
+def _kg_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over dictionary titles: block →
+    length-band filter → levenshtein score in integer micro units,
+    with redirect-canonicalized item equality as the match label."""
+    from wikidata_qrank_spark.operators.linking import entity_match
+
+    return entity_match(build_graph(spark, sf_dir)["canonical_dictionary"])
+
+
+def _kg_entity_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled entity vectors from mention-linked doc embeddings —
+    per-dim micro-integer sums (order-free), KB-scale output rows."""
+    from wikidata_qrank_spark.operators.similarity import entity_embeddings
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    g = build_graph(spark, sf_dir)
+    return entity_embeddings(
+        g["text_mentions"], load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def _td_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _documents(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("token")
@@ -1621,6 +1706,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_span_dedup"] = _td_span_dedup
     out["td_mixture_resample"] = _td_mixture_resample
     out["kg_clustering_coeff"] = _kg_clustering_coeff
+    out["kg_neighborhood"] = _kg_neighborhood
+    out["kg_eff_diameter"] = _kg_eff_diameter
+    out["kg_assortativity"] = _kg_assortativity
+    out["kg_link_prediction"] = _kg_link_prediction
+    out["kg_random_walks"] = _kg_random_walks
+    out["kg_entity_match"] = _kg_entity_match
+    out["kg_entity_embeddings"] = _kg_entity_embeddings
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

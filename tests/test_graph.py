@@ -352,3 +352,217 @@ def test_clustering_coefficient_golden(spark):
         5: (3, 1, 333333),
         6: (1, 0, 0),
     }
+
+
+def test_neighborhood_function_accuracy_vs_exact_bfs(spark):
+    """HyperANF ball estimates track the exact BFS out-ball sizes
+    (including the start node) within the m=4096 error band at every
+    hop, and the per-(node,hops) estimates are monotone in hops —
+    merging registers can only grow the sketched set."""
+    from wikidata_qrank_spark.operators.graph import neighborhood_function
+
+    pairs = [(a, (a * 7 + k * 13) % 40) for a in range(40) for k in range(3)
+             if a != (a * 7 + k * 13) % 40]
+    edges = spark.createDataFrame(pairs, "src_id long, dst_id long")
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    nodes = set(adj) | {b for _, b in pairs}
+
+    def ball(v, h):
+        seen, frontier = {v}, {v}
+        for _ in range(h):
+            frontier = {c for u in frontier for c in adj.get(u, ())} - seen
+            seen |= frontier
+        return len(seen)
+
+    got = {(r.node, r.hops): r.n_reachable_est
+           for r in neighborhood_function(edges, max_hops=3).collect()}
+    assert set(got) == {(v, h) for v in nodes for h in (1, 2, 3)}
+    for (v, h), est in got.items():
+        truth = ball(v, h)
+        assert abs(est - truth) <= max(3.0, 0.1 * truth), (v, h, est, truth)
+    for v in nodes:
+        assert got[(v, 1)] <= got[(v, 2)] + 1e-9
+        assert got[(v, 2)] <= got[(v, 3)] + 1e-9
+
+
+def test_neighborhood_function_register_cap_on_hub(spark):
+    """Power-law shape: a hub with 300 out-neighbors, each of which
+    fans to 50 more. Exact 3-hop BFS sets through the hub are
+    O(300*50) per spoke; HyperANF state stays <= 2^bits register rows
+    per node regardless, so round h+1's shuffle is |E| x m bounded."""
+    from wikidata_qrank_spark.operators.graph import neighborhood_function
+
+    hub, rows = 0, []
+    rows += [(hub, 1 + j) for j in range(300)]
+    rows += [(1 + j, 1000 + (j * 50 + k) % 15000)
+             for j in range(300) for k in range(50)]
+    edges = spark.createDataFrame(rows, "src_id long, dst_id long")
+
+    nf = neighborhood_function(edges, max_hops=2, bucket_bits=6)
+    per = {(r.node, r.hops): (r.n_nonzero, r.n_reachable_est)
+           for r in nf.collect()}
+    # register rows never exceed m=64 even for the hub's 300-node ball
+    assert all(nz <= 64 for nz, _ in per.values())
+    # hub 2-hop ball is ~ 1 + 300 + distinct leaves (15000 cap ->
+    # 300*50 = 15000 distinct): estimate within 15% at m=64
+    est = per[(hub, 2)][1]
+    truth = 1 + 300 + 15000
+    assert abs(est - truth) <= 0.15 * truth, (est, truth)
+
+
+def test_assortativity_golden(spark):
+    """Hand-computed Pearson r over edge endpoint degrees (out-deg of
+    src, in-deg of dst) on a graph with variance on BOTH margins."""
+    from wikidata_qrank_spark.operators.graph import assortativity
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 4), (4, 5)]
+    edges = spark.createDataFrame(pairs, "src_id long, dst_id long")
+    dout, din = {}, {}
+    for a, b in pairs:
+        dout[a] = dout.get(a, 0) + 1
+        din[b] = din.get(b, 0) + 1
+    xs = [dout[a] for a, _ in pairs]
+    ys = [din[b] for _, b in pairs]
+    n = len(pairs)
+    cov = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+    vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+    import math
+
+    expect = math.floor(cov / math.sqrt(vx * vy) * 1e6 + 0.5) / 1e6
+    row = assortativity(edges).collect()[0]
+    assert row.n_edges == 5
+    assert row.assortativity == expect
+
+
+def test_assortativity_zero_variance_is_null(spark):
+    """A directed cycle has constant degrees on both margins ->
+    zero variance -> NULL, not a 0/0 crash."""
+    from wikidata_qrank_spark.operators.graph import assortativity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src_id long, dst_id long"
+    )
+    row = assortativity(edges).collect()[0]
+    assert row.n_edges == 3 and row.assortativity is None
+
+
+def test_effective_diameter_complete_vs_chain(spark):
+    """On K5 every pair is 1 hop apart -> eff diameter < 1 (interp
+    between hop 0 self-pairs and hop 1 saturation); on a directed
+    6-chain reachability keeps growing to the hop cap -> diameter
+    lands past 2. Distribution rows are monotone in hops and the
+    hop-0 row is the exact node count in micro units."""
+    from wikidata_qrank_spark.operators.graph import effective_diameter
+
+    k5 = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(5) if a != b],
+        "src_id long, dst_id long",
+    )
+    rows = {r.hops: r for r in effective_diameter(k5, max_hops=3).collect()}
+    assert rows[0].n_pairs_micro == 5 * 1000000
+    assert rows[1].n_pairs_micro <= rows[2].n_pairs_micro <= rows[3].n_pairs_micro
+    eff = rows[1].eff_diameter
+    assert all(r.eff_diameter == eff for r in rows.values())
+    assert 0.0 < eff < 1.0
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src_id long, dst_id long"
+    )
+    ceff = effective_diameter(chain, max_hops=3).collect()[0].eff_diameter
+    assert 2.0 < ceff <= 3.0
+
+
+def test_link_prediction_square_golden(spark):
+    """4-cycle 1-2-3-4: opposite corners share exactly the two other
+    nodes; adjacent pairs share none (filtered at min_common=2).
+    Jaccard = 2/(2+2-2) = 1, AA = 2·floor(1e6/ln 2 + .5) micro."""
+    import math
+
+    from wikidata_qrank_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src_id long, dst_id long"
+    )
+    got = {(r.node_a, r.node_b): r for r in link_prediction(edges).collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    aa = 2 * math.floor(1e6 / math.log(2) + 0.5)
+    for pair, r in got.items():
+        assert (r.n_common, r.deg_a, r.deg_b) == (2, 2, 2)
+        assert r.jaccard == 1.0
+        assert r.aa_micro == aa
+        assert r.is_edge is False
+
+
+def test_link_prediction_mid_degree_cap(spark):
+    """A hub joined to everything is excluded as a mid once its degree
+    crosses max_mid_degree: pairs connected ONLY through the hub
+    disappear, bounding wedge fan-out at |E|·D on Zipf graphs; a
+    low-degree mid on the side still yields its pair, and is_edge
+    flags pairs that are already adjacent."""
+    from wikidata_qrank_spark.operators.graph import link_prediction
+
+    hub = 99
+    rows = [(hub, i) for i in range(10)]          # hub degree 10 + 2
+    rows += [(50, 0), (50, 1), (51, 0), (51, 1)]  # mids 50,51 (deg 2)
+    rows += [(0, 1)]                              # 0-1 adjacent
+    edges = spark.createDataFrame(rows, "src_id long, dst_id long")
+    capped = {(r.node_a, r.node_b): r
+              for r in link_prediction(edges, max_mid_degree=4).collect()}
+    # (0,1) survives via mids 50,51 (and NOT via the excluded hub):
+    assert (0, 1) in capped
+    assert capped[(0, 1)].n_common == 2
+    assert capped[(0, 1)].is_edge is True
+    # hub-only pairs (e.g. 2,3 — one shared mid) are gone under the
+    # cap even at min_common=1...
+    capped1 = {(r.node_a, r.node_b)
+               for r in link_prediction(
+                   edges, max_mid_degree=4, min_common=1).collect()}
+    assert (2, 3) not in capped1
+    # ...but present without it
+    full = {(r.node_a, r.node_b)
+            for r in link_prediction(
+                edges, max_mid_degree=64, min_common=1).collect()}
+    assert (2, 3) in full
+
+
+def test_random_walks_valid_and_deterministic(spark):
+    """Every step follows an undirected edge, row count is exactly
+    |V|·walks·(len+1), and the corpus is identical across runs (no
+    RNG state — picks are portable-hash functions of (start, walk,
+    step)). One walk is replayed by hand with hashlib to pin the
+    hash contract."""
+    import hashlib
+
+    from wikidata_qrank_spark.operators.graph import random_walks
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    edges = spark.createDataFrame(pairs, "src_id long, dst_id long")
+    und = set()
+    for a, b in pairs:
+        und.add((a, b))
+        und.add((b, a))
+    out1 = sorted(
+        tuple(r) for r in random_walks(edges, 4, 2).collect()
+    )
+    out2 = sorted(
+        tuple(r) for r in random_walks(edges, 4, 2).collect()
+    )
+    assert out1 == out2
+    assert len(out1) == 4 * 2 * 5
+    walks = {}
+    for start, wno, step, node in out1:
+        walks.setdefault((start, wno), {})[step] = node
+    adj = {}
+    for a, b in sorted(und):
+        adj.setdefault(a, []).append(b)
+    for (start, wno), seq in walks.items():
+        assert seq[0] == start
+        for t in range(1, 5):
+            assert (seq[t - 1], seq[t]) in und
+            # replay the pick: md5-based hash60 mod degree
+            key = f"{start}|{wno}|{t}".encode()
+            h = int(hashlib.md5(key).hexdigest()[:15], 16)
+            assert seq[t] == adj[seq[t - 1]][h % len(adj[seq[t - 1]])]

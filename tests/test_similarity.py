@@ -234,3 +234,28 @@ def test_null_vectors_never_poison_training_or_neighbors(spark):
         ids = {r[0] for r in rows} | {r[1] for r in rows}
         assert 0 not in ids and 4 not in ids  # null rows never appear
         assert all(r[2] is not None for r in rows)  # no NULL cosines
+
+
+def test_entity_embeddings_mean_pool_golden(spark):
+    """Two entities over three docs with 2-dim vectors: per-dim micro
+    sums and means are hand-checked; entity 1 pools docs {0,1},
+    entity 2 pools doc {2}; duplicate mentions of the same (doc,
+    entity) pair pool once (distinct)."""
+    from wikidata_qrank_spark.operators.similarity import entity_embeddings
+
+    mentions = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 1), (2, 2)], "doc_id long, item_id long"
+    )
+    emb = spark.createDataFrame(
+        [(0, [0.5, -1.25]), (1, [1.5, 0.75]), (2, [2.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {(r.item_id, r.dim): r
+            for r in entity_embeddings(mentions, emb).collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    assert rows[(1, 0)].n_docs == 2
+    assert rows[(1, 0)].sum_micro == 500000 + 1500000
+    assert rows[(1, 0)].mean == 1.0
+    assert rows[(1, 1)].sum_micro == -1250000 + 750000
+    assert rows[(1, 1)].mean == -0.25
+    assert rows[(2, 0)].sum_micro == 2000000 and rows[(2, 0)].n_docs == 1

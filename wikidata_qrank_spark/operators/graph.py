@@ -313,6 +313,77 @@ def two_hop_approx(
     ).withColumnRenamed("hll_estimate", "n_two_hop_est")
 
 
+def neighborhood_function(
+    edges: DataFrame,
+    max_hops: int = 3,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """HyperANF (Boldi-Rosa-Vigna, WWW 2011): per-node HLL-sketched
+    size of the directed out-ball — (node, hops, n_buckets, n_nonzero,
+    n_reachable_est) for hops = 1..max_hops, where the estimate counts
+    every node reachable within ≤ hops edges INCLUDING the start node
+    (c₀ = HLL{v}; per-source exclusion can't live inside a mergeable
+    sketch).
+
+    The recurrence is pure register algebra: cₕ(v) = merge(cₕ₋₁(v),
+    cₕ₋₁(u) for v→u), i.e. one edge join + one (node, bucket) max per
+    round. Per-node state is ≤ 2^bucket_bits register rows no matter
+    the degree or ball size — the property that makes the neighborhood
+    function computable where exact h-hop BFS sets blow up hub^h on a
+    power-law graph (:func:`two_hop_approx` is the h=2 special case).
+    Each round's registers persist (they feed the next round AND the
+    estimate — the diamond-reuse rule); the rounds are max_hops keyed
+    shuffles, nothing driver-side.
+
+    Registers reuse :mod:`sketches`' portable md5 primitives, so the
+    DuckDB oracle derives bit-identical registers and estimates for
+    every round."""
+    from functools import reduce
+
+    from .sketches import hll_estimate_from_registers, hll_registers
+
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    regs = hll_registers(
+        nodes.withColumn("__c", F.col("node").cast("string")),
+        "__c",
+        ["node"],
+        bucket_bits,
+    ).persist()
+    rounds = []
+    for h in range(1, max_hops + 1):
+        nbr = e.join(regs.withColumnRenamed("node", "v"), "v").select(
+            F.col("u").alias("node"), "__bucket", "__mx"
+        )
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "__bucket")
+            .agg(F.max("__mx").alias("__mx"))
+            .persist()
+        )
+        rounds.append(
+            hll_estimate_from_registers(regs, ["node"], bucket_bits).withColumn(
+                "hops", F.lit(h).cast("long")
+            )
+        )
+    out = reduce(lambda a, b: a.unionByName(b), rounds)
+    return out.select(
+        "node",
+        "hops",
+        "n_buckets",
+        "n_nonzero",
+        F.col("hll_estimate").alias("n_reachable_est"),
+    )
+
+
 def cooccurrence_pmi(
     mentions_df: DataFrame, min_pairs: int = 2
 ) -> DataFrame:
@@ -776,3 +847,317 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank")
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src_id", dst: str = "dst_id"
+) -> DataFrame:
+    """One row — (n_edges, assortativity): the directed out-in degree
+    assortativity coefficient (Newman 2002), i.e. the Pearson
+    correlation between out-degree(u) and in-degree(v) over directed
+    edges u→v. Negative on disassortative graphs (hubs point at
+    leaves — the typical KG/web shape), positive when hubs link hubs.
+
+    Scale shape: two node-keyed degree aggregations, two edge-keyed
+    joins to attach (x, y) per edge (AQE broadcasts the degree dims
+    when small, sort-merge on the node key otherwise), then a single
+    map-side-combinable fold of EXACT integer sums (n, Σx, Σy, Σx²,
+    Σy², Σxy as BIGINT) — the Pearson ratio is formed once on the
+    driver-free final row, so the result is bit-stable under any
+    aggregation order. Overflow headroom: Σx² ≤ |E|·max_deg², within
+    int64 for |E|·max_deg² < 9.2e18 (at wiki scale |E|≈1e9,
+    max_deg≈1e6 exceeds it — shift to DECIMAL(38,0) sums there; the
+    expression shape is unchanged).
+
+    Zero variance on either margin (e.g. a perfect cycle) yields NULL
+    rather than 0/0."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    dout = e.groupBy("u").agg(F.count(F.lit(1)).alias("x"))
+    din = e.groupBy("v").agg(F.count(F.lit(1)).alias("y"))
+    xy = e.join(dout, "u").join(din, "v")
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n_edges")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = F.when(
+        (vx > 0) & (vy > 0), round6(cov / (F.sqrt(vx) * F.sqrt(vy)))
+    )
+    return s.select("n_edges", r.alias("assortativity"))
+
+
+def effective_diameter(
+    edges: DataFrame,
+    max_hops: int = 3,
+    q_permille: int = 900,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """HyperANF distance distribution + effective diameter (Palmer's
+    ANF / Boldi-Rosa-Vigna): rows (hops, n_pairs_micro,
+    eff_diameter) for hops = 0..max_hops, where n_pairs_micro is the
+    sketched count of reachable (source, target) pairs within ≤ hops
+    edges in integer MICRO units, and eff_diameter is the (q‰)
+    effective diameter — the interpolated hop count at which q‰ of all
+    max_hops-reachable pairs are covered — repeated on every row.
+
+    Exact-integer discipline: per-(node, hops) HLL estimates from
+    :func:`neighborhood_function` are snapped to micro units
+    (floor(est·1e6 + 0.5) as BIGINT) BEFORE the global sum, so the
+    graph-wide fold is order-free integer addition — summing raw
+    doubles over a 100 M-node frame would make the total depend on
+    aggregation order and break cross-engine parity. Hop 0 is the
+    exact node count (every node reaches itself). The quantile test
+    runs in integer space (n·1000 ≥ q‰·max); only the final
+    interpolation divides, on one row.
+
+    Scale: inherits HyperANF's bounds (≤ 2^bucket_bits register rows
+    per node per round); the distribution fold adds one map-side
+    combinable sum per hop; the window runs over max_hops+1 rows —
+    constant-size by construction."""
+    from pyspark.sql import Window
+
+    if not 0 < q_permille <= 1000:
+        raise ValueError(f"q_permille must be in (0, 1000], got {q_permille}")
+    nf = neighborhood_function(edges, max_hops, src, dst, bucket_bits)
+    per_hop = nf.groupBy("hops").agg(
+        F.sum(
+            F.floor(F.col("n_reachable_est") * 1000000.0 + 0.5).cast("long")
+        ).alias("n_pairs_micro")
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    n_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+    )
+    spark = edges.sparkSession
+    hop0 = spark.createDataFrame(
+        [(0, n_nodes * 1000000)], "hops long, n_pairs_micro long"
+    )
+    dist = per_hop.unionByName(hop0)
+    # constant-size frame (max_hops+1 rows): a single-partition window
+    # is the right plan here, not a scale concern
+    w = Window.orderBy("hops")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_total = dist.select(
+        "hops",
+        "n_pairs_micro",
+        F.max("n_pairs_micro").over(wall).alias("total_micro"),
+        F.lag("n_pairs_micro").over(w).alias("prev_micro"),
+    )
+    sat = (
+        F.col("n_pairs_micro") * 1000
+        >= F.lit(q_permille) * F.col("total_micro")
+    )
+    prev_sat = (
+        F.col("prev_micro") * 1000
+        >= F.lit(q_permille) * F.col("total_micro")
+    )
+    first_sat = sat & (
+        F.col("prev_micro").isNull() | ~prev_sat
+    )
+    target = (
+        F.lit(q_permille).cast("double")
+        * F.col("total_micro").cast("double")
+    ) / 1000.0
+    interp = F.when(F.col("hops") == 0, F.lit(0.0)).otherwise(
+        (F.col("hops") - 1).cast("double")
+        + (target - F.col("prev_micro").cast("double"))
+        / (F.col("n_pairs_micro") - F.col("prev_micro")).cast("double")
+    )
+    staged = with_total.select(
+        "hops",
+        "n_pairs_micro",
+        F.when(first_sat, round6(interp)).alias("eff_at"),
+    )
+    return staged.select(
+        "hops",
+        "n_pairs_micro",
+        F.max("eff_at").over(wall).alias("eff_diameter"),
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    max_mid_degree: int = 64,
+    min_common: int = 2,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Link-prediction scores over the undirected simple graph: for
+    every unordered node pair (a < b) sharing ≥ min_common common
+    neighbors through mids of degree ≤ max_mid_degree, emit
+    (node_a, node_b, n_common, deg_a, deg_b, jaccard, aa_micro,
+    is_edge) — common-neighbor count, neighborhood Jaccard
+    n∩/(deg_a + deg_b − n∩) over FULL degrees, and the Adamic-Adar
+    score Σ_mid 1/ln(deg(mid)) in integer micro units (each mid's
+    1e6/ln(deg) contribution is snapped to a BIGINT before the
+    per-pair sum, so the fold is order-free — summing raw doubles
+    would tie the value to aggregation order).
+
+    The mid-degree cap is the standard stop-hub rule of
+    common-neighbor methods AND the scale bound: wedge fan-out through
+    a mid is deg², so uncapped Zipf hubs contribute the same hub²
+    blowup two_hop_counts documents — capping at D bounds the
+    candidate join at |E|·D while barely moving the scores (a
+    1 M-degree hub contributes 1/ln(1e6) ≈ 0.07 per pair and connects
+    everything to everything — noise, not signal). Mids with degree 1
+    cannot form a wedge, so ln(deg) ≥ ln 2 and the micro contribution
+    is finite. is_edge marks pairs already adjacent (link prediction
+    ranks the non-edges; downstream filters on it)."""
+    if max_mid_degree < 2:
+        raise ValueError(
+            f"max_mid_degree must be >= 2, got {max_mid_degree}"
+        )
+    und = _undirected_simple(edges, src, dst)
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    mids = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_mid_degree)
+    ).select(F.col("u").alias("mid"), F.col("deg").alias("mid_deg"))
+    adj = und.select(F.col("u").alias("mid"), F.col("v").alias("x")).join(
+        mids, "mid"
+    )
+    a1 = adj.select("mid", "mid_deg", F.col("x").alias("node_a"))
+    a2 = adj.select("mid", F.col("x").alias("node_b"))
+    contrib = F.floor(
+        1000000.0 / F.log(F.col("mid_deg").cast("double")) + 0.5
+    ).cast("long")
+    pairs = (
+        a1.join(a2, "mid")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(contrib).alias("aa_micro"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    scored = (
+        pairs.join(
+            deg.select(F.col("u").alias("node_a"), F.col("deg").alias("deg_a")),
+            "node_a",
+        )
+        .join(
+            deg.select(F.col("u").alias("node_b"), F.col("deg").alias("deg_b")),
+            "node_b",
+        )
+    )
+    ecols = und.select(
+        F.col("u").alias("node_a"), F.col("v").alias("node_b"),
+        F.lit(True).alias("is_edge"),
+    )
+    return (
+        scored.join(ecols, ["node_a", "node_b"], "left")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            round6(
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            "aa_micro",
+            F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
+        )
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """DeepWalk-style walk corpus (Perozzi 2014), fully deterministic:
+    (start_node, walk_no, step, node) — walks_per_node uniform random
+    walks of walk_len steps from every node of the undirected simple
+    graph, the sequence corpus a skip-gram KG-embedding trainer
+    consumes. Step t from node c follows c's idx-th neighbor where
+    neighbors are ranked by id (row_number − 1) and
+    idx = hash60(start|walk_no|t) mod deg(c) — the portable md5 hash,
+    so the DuckDB oracle replays the identical walks bit-for-bit and a
+    re-run on different partitioning picks the identical corpus (no
+    Math.random, no per-partition RNG state).
+
+    Scale shape: the ranked adjacency (one row_number window keyed by
+    node) and the degree dim are built ONCE; each step is two
+    node-keyed equi-joins — frontier⋈deg to form the pick, then
+    frontier⋈adjacency on (node, idx = pick), which probes exactly one
+    neighbor row per walk instead of fanning out deg rows and
+    filtering. Frontier size is constant (|V|·walks_per_node rows per
+    step); per-step lineage is truncated so the plan stays flat for
+    long walks. Undirected adjacency guarantees every node in the edge
+    set has deg ≥ 1 — walks never dead-end."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash60
+
+    if walk_len < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    if walks_per_node < 1:
+        raise ValueError(
+            f"walks_per_node must be >= 1, got {walks_per_node}"
+        )
+    und = _undirected_simple(edges, src, dst)
+    wn = Window.partitionBy("u").orderBy("v")
+    adj = und.select(
+        F.col("u").alias("node"),
+        (F.row_number().over(wn) - 1).cast("long").alias("idx"),
+        F.col("v").alias("nxt"),
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    starts = und.select(F.col("u").alias("start_node")).distinct()
+    wnos = edges.sparkSession.range(walks_per_node).select(
+        F.col("id").alias("walk_no")
+    )
+    frontier = starts.crossJoin(F.broadcast(wnos)).select(
+        "start_node", "walk_no", F.col("start_node").alias("cur")
+    )
+    out = frontier.select(
+        "start_node", "walk_no", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("node"),
+    )
+    for t in range(1, walk_len + 1):
+        key = F.concat_ws(
+            "|",
+            F.col("start_node").cast("string"),
+            F.col("walk_no").cast("string"),
+            F.lit(str(t)),
+        )
+        picked = frontier.join(
+            deg.withColumnRenamed("node", "cur"), "cur"
+        ).select(
+            "start_node", "walk_no",
+            F.col("cur").alias("node"),
+            (hash60(key) % F.col("deg")).alias("idx"),
+        )
+        frontier = (
+            picked.join(adj, ["node", "idx"])
+            .select("start_node", "walk_no", F.col("nxt").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            frontier.select(
+                "start_node", "walk_no",
+                F.lit(t).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out

@@ -78,3 +78,79 @@ def canonical_dictionary(dict_df: DataFrame, redirects_df: DataFrame) -> DataFra
     return resolve_redirects(dict_df, redirects_df).withColumn(
         "item", F.concat(F.lit("Q"), F.col("item_id"))
     )
+
+
+def entity_match(
+    dict_df: DataFrame,
+    block_chars: int = 1,
+    max_len_diff: int = 3,
+    min_sim_micro: int = 300000,
+) -> DataFrame:
+    """Blocked entity-resolution candidates over dictionary titles:
+    (title_a, title_b, item_a, item_b, lev, sim_micro, same_entity) for
+    title pairs that share a blocking key (case-folded first
+    ``block_chars`` characters), differ in length by ≤ max_len_diff,
+    and score a normalized edit similarity ≥ min_sim_micro, where
+    sim_micro = floor((1 − lev/max(len_a, len_b))·1e6 + 0.5) — integer
+    micro units so the score is engine-exact (Spark's ``levenshtein``
+    and DuckDB's agree on unit-cost edits). same_entity marks pairs the
+    redirect resolution already canonicalized to one item — the
+    training labels a matcher would calibrate on.
+
+    The standard ER sandwich, Spark-first: BLOCK (a cheap equi-key —
+    the join is hash-partitioned on the blocking key, never all-pairs),
+    then FILTER (the length band prunes inside the block before the
+    quadratic scorer), then SCORE (levenshtein only on surviving
+    candidates, JVM codegen — no Python). Scale knob: block skew is the
+    risk (a 1-char key over 100 M titles makes hot blocks); production
+    raises block_chars / adds a second blocking pass (e.g. length
+    bucket is already folded in) the same way the LSH band tables key
+    on (band, bucket). Reference parity: the reference resolves ONLY
+    exact-title redirects (redirect.go); fuzzy title matching is the
+    engine extension that turns its dictionary into an ER input."""
+    if block_chars < 1:
+        raise ValueError(f"block_chars must be >= 1, got {block_chars}")
+    t = dict_df.select(
+        "title",
+        F.col("item_id"),
+        F.lower(F.substring("title", 1, block_chars)).alias("__blk"),
+        F.length("title").alias("__len"),
+    )
+    a = t.select(
+        F.col("title").alias("title_a"), F.col("item_id").alias("item_a"),
+        "__blk", F.col("__len").alias("__len_a"),
+    )
+    b = t.select(
+        F.col("title").alias("title_b"), F.col("item_id").alias("item_b"),
+        "__blk", F.col("__len").alias("__len_b"),
+    )
+    lev = F.levenshtein("title_a", "title_b")
+    sim = F.floor(
+        (
+            F.lit(1.0)
+            - lev.cast("double")
+            / F.greatest("__len_a", "__len_b").cast("double")
+        )
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    return (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("title_a") < F.col("title_b"))
+            & (
+                F.abs(F.col("__len_a") - F.col("__len_b"))
+                <= F.lit(max_len_diff)
+            )
+        )
+        .select(
+            "title_a",
+            "title_b",
+            "item_a",
+            "item_b",
+            lev.cast("long").alias("lev"),
+            sim.alias("sim_micro"),
+            (F.col("item_a") == F.col("item_b")).alias("same_entity"),
+        )
+        .filter(F.col("sim_micro") >= F.lit(min_sim_micro))
+    )

@@ -501,3 +501,49 @@ def ivf_topk(
         .filter(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "nn_rank")
     )
+
+
+def entity_embeddings(
+    mentions_df: DataFrame, embeddings_df: DataFrame
+) -> DataFrame:
+    """Mean-pooled entity embeddings from the corpus: every entity's
+    vector is the per-dimension average over the embeddings of the
+    distinct documents that mention it — rows (item_id, dim, n_docs,
+    sum_micro, mean), the standard bag-of-contexts entity
+    representation a KG-embedding bootstrap or semantic entity-dedup
+    consumes.
+
+    Exact-integer discipline: each float component is widened to
+    double and snapped to BIGINT micro units BEFORE the per-(entity,
+    dim) sum, so the fold is order-free (a raw float sum over millions
+    of mentions would depend on aggregation order and break
+    cross-engine parity); the mean divides once per output row.
+
+    Scale shape: one distinct on (doc, entity), one doc-keyed join to
+    the vector table, then posexplode to (entity, dim) keyed partial
+    aggregation — shuffle rows = mentions×dim but each is 3 small
+    columns, and the map-side combine collapses per-partition
+    duplicates. Output is entity×dim rows (a KB-scale dim table), NOT
+    a collected matrix — downstream cosine/LSH reads it distributed."""
+    m = mentions_df.select("doc_id", "item_id").distinct()
+    e = embeddings_df.select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    ex = m.join(e, "doc_id").select(
+        "item_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    micro = F.floor(F.col("val").cast("double") * 1000000.0 + 0.5).cast(
+        "long"
+    )
+    per = ex.groupBy("item_id", F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(micro).alias("sum_micro"),
+    )
+    mean = (
+        F.col("sum_micro").cast("double") / 1000000.0
+    ) / F.col("n_docs").cast("double")
+    from ..functions.precision import round6
+
+    return per.select(
+        "item_id", "dim", "n_docs", "sum_micro", round6(mean).alias("mean")
+    )

@@ -3213,3 +3213,318 @@ SELECT d.node, d.deg,
 FROM deg d LEFT JOIN tcnt t ON d.node = t.node
 """
 )
+
+
+# HyperANF neighborhood function (operators/graph.py
+# neighborhood_function): the oracle unrolls the register recurrence —
+# r0 = per-node self-registers, r{h} = max-merge of r{h-1} across the
+# directed edge join — with the same portable md5 register constants
+# as kg_two_hop_approx (bucket = top 12 of 60 bits, 2^48-1 remainder
+# mask, rho ceiling 49) and the same estimator text, so every round's
+# estimate is bit-identical.
+_HYPERANF_EST = """floor((CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                   THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END)
+             * 1000000.0 + 0.5) / 1000000.0"""
+
+
+def _hyperanf_ctes(max_hops: int) -> list[str]:
+    ctes = [
+        """
+, r0 AS (
+  SELECT node, h >> 48 AS bucket,
+         max(CASE WHEN (h & 281474976710655) = 0 THEN 49
+                  ELSE 49 - length(bin(h & 281474976710655)) END) AS mx
+  FROM (SELECT node,
+               CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM nodes)
+  GROUP BY 1, 2
+)"""
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f""",
+r{h} AS MATERIALIZED (
+  SELECT node, bucket, max(mx) AS mx FROM (
+    SELECT node, bucket, mx FROM r{h - 1}
+    UNION ALL
+    SELECT e.u AS node, r.bucket, r.mx
+    FROM edges e JOIN r{h - 1} r ON r.node = e.v
+  ) GROUP BY 1, 2
+),
+agg{h} AS (
+  SELECT node,
+         sum(CAST(1 AS BIGINT) << (49 - mx)) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_nonzero
+  FROM r{h} GROUP BY node
+),
+est{h} AS (
+  SELECT node, n_nonzero,
+         (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 * 562949953421312.0
+           / CAST(s_present + (4096 - n_nonzero) * (CAST(1 AS BIGINT) << 49)
+                  AS DOUBLE) AS raw,
+         4096 - n_nonzero AS zeros
+  FROM agg{h}
+)"""
+        )
+    return ctes
+
+
+def _hyperanf_sql(max_hops: int) -> str:
+    est_selects = [
+        f"""
+SELECT node, CAST({h} AS BIGINT) AS hops, CAST(4096 AS BIGINT) AS n_buckets,
+       n_nonzero,
+       {_HYPERANF_EST} AS n_reachable_est
+FROM est{h}"""
+        for h in range(1, max_hops + 1)
+    ]
+    return kg_sql(
+        _EDGES_CTE
+        + "".join(_hyperanf_ctes(max_hops))
+        + "\nUNION ALL".join(est_selects)
+    )
+
+
+ORACLES["kg_neighborhood"] = _hyperanf_sql(3)
+
+
+# Effective diameter (operators/graph.py effective_diameter): the
+# HyperANF rounds above, each hop's per-node estimates snapped to
+# BIGINT micro units BEFORE the graph-wide sum (order-free integer
+# fold — the engine contract), hop 0 = exact node count, then the q‰
+# quantile test in integer space and one interpolating division on the
+# constant-size hop table.
+def _eff_diameter_sql(max_hops: int, q_permille: int) -> str:
+    hop_sums = [
+        f"""
+SELECT CAST({h} AS BIGINT) AS hops,
+       CAST(sum(CAST(floor(({_HYPERANF_EST}) * 1000000.0 + 0.5)
+                AS BIGINT)) AS BIGINT) AS n_pairs_micro
+FROM est{h}"""
+        for h in range(1, max_hops + 1)
+    ]
+    q = q_permille
+    body = f""",
+dist AS (
+  SELECT CAST(0 AS BIGINT) AS hops,
+         CAST((SELECT count(*) FROM nodes) AS BIGINT) * 1000000
+           AS n_pairs_micro
+  UNION ALL{' UNION ALL'.join(hop_sums)}
+),
+wt AS (
+  SELECT hops, n_pairs_micro,
+         max(n_pairs_micro) OVER () AS total_micro,
+         lag(n_pairs_micro) OVER (ORDER BY hops) AS prev_micro
+  FROM dist
+),
+st AS (
+  SELECT hops, n_pairs_micro,
+         CASE WHEN n_pairs_micro * 1000 >= {q} * total_micro
+               AND (prev_micro IS NULL
+                    OR NOT (prev_micro * 1000 >= {q} * total_micro))
+         THEN floor((CASE WHEN hops = 0 THEN 0.0
+                     ELSE CAST(hops - 1 AS DOUBLE)
+                          + ((CAST({q} AS DOUBLE)
+                              * CAST(total_micro AS DOUBLE)) / 1000.0
+                             - CAST(prev_micro AS DOUBLE))
+                            / CAST(n_pairs_micro - prev_micro AS DOUBLE)
+                     END) * 1000000.0 + 0.5) / 1000000.0
+         END AS eff_at
+  FROM wt
+)
+SELECT hops, n_pairs_micro, max(eff_at) OVER () AS eff_diameter FROM st
+"""
+    return kg_sql(_EDGES_CTE + "".join(_hyperanf_ctes(max_hops)) + body)
+
+
+ORACLES["kg_eff_diameter"] = _eff_diameter_sql(3, 900)
+
+
+# Directed out-in degree assortativity (operators/graph.py
+# assortativity) over the doc→entity incidence graph: exact BIGINT
+# moment sums folded once, the Pearson ratio formed on the single
+# output row — identical arithmetic order to the Spark expression.
+ORACLES["kg_assortativity"] = kg_sql(
+    """
+, bedges AS (SELECT DISTINCT doc_id AS u, item_id AS v FROM tmentions),
+doutA AS (SELECT u, CAST(count(*) AS BIGINT) AS x FROM bedges GROUP BY u),
+dinA AS (SELECT v, CAST(count(*) AS BIGINT) AS y FROM bedges GROUP BY v),
+xyA AS (
+  SELECT o.x, i.y FROM bedges e
+  JOIN doutA o ON e.u = o.u JOIN dinA i ON e.v = i.v
+),
+sA AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM xyA
+)
+SELECT n AS n_edges,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+       THEN floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                  * 1000000.0 + 0.5) / 1000000.0
+       END AS assortativity
+FROM sA
+"""
+)
+
+
+# Link prediction (operators/graph.py link_prediction,
+# max_mid_degree=64, min_common=2): wedges through capped-degree mids
+# over the undirected simple graph; Adamic-Adar contributions snapped
+# to BIGINT micro units per mid before the per-pair sum (order-free).
+ORACLES["kg_link_prediction"] = kg_sql(
+    _EDGES_CTE
+    + """
+, undp AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+degp AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM undp GROUP BY u),
+midp AS (
+  SELECT u AS mid, deg AS mid_deg FROM degp WHERE deg BETWEEN 2 AND 64
+),
+adjp AS (
+  SELECT a.u AS mid, m.mid_deg, a.v AS x
+  FROM undp a JOIN midp m ON a.u = m.mid
+),
+pairsp AS (
+  SELECT a1.x AS node_a, a2.x AS node_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(CAST(floor(1000000.0 / ln(CAST(a1.mid_deg AS DOUBLE))
+                             + 0.5) AS BIGINT)) AS BIGINT) AS aa_micro
+  FROM adjp a1 JOIN adjp a2 ON a1.mid = a2.mid AND a1.x < a2.x
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.node_a, p.node_b, p.n_common,
+       da.deg AS deg_a, db.deg AS deg_b,
+       floor((CAST(p.n_common AS DOUBLE)
+              / CAST(da.deg + db.deg - p.n_common AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+       p.aa_micro,
+       (e.u IS NOT NULL) AS is_edge
+FROM pairsp p
+JOIN degp da ON p.node_a = da.u
+JOIN degp db ON p.node_b = db.u
+LEFT JOIN undp e ON e.u = p.node_a AND e.v = p.node_b
+"""
+)
+
+
+# Deterministic DeepWalk corpus (operators/graph.py random_walks,
+# walk_len=4, walks_per_node=2): ranked undirected adjacency, step t
+# picks neighbor index hash60(start|walk_no|t) mod deg — the identical
+# portable md5 hash, so both engines emit bit-identical walks.
+def _random_walks_sql(walk_len: int, walks_per_node: int) -> str:
+    wvals = ", ".join(f"({w})" for w in range(walks_per_node))
+    ctes = [
+        f""",
+undw AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+adjw AS (
+  SELECT u AS node,
+         CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1
+              AS BIGINT) AS idx,
+         v AS nxt
+  FROM undw
+),
+degw AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         FROM adjw GROUP BY node),
+w0 AS (
+  SELECT s.start_node, CAST(wn.walk_no AS BIGINT) AS walk_no,
+         s.start_node AS cur
+  FROM (SELECT DISTINCT u AS start_node FROM undw) s
+  CROSS JOIN (VALUES {wvals}) wn(walk_no)
+)"""
+    ]
+    for t in range(1, walk_len + 1):
+        ctes.append(
+            f""",
+w{t} AS (
+  SELECT p.start_node, p.walk_no, a.nxt AS cur
+  FROM (
+    SELECT f.start_node, f.walk_no, f.cur,
+           CAST('0x' || substr(md5(CAST(f.start_node AS VARCHAR) || '|'
+                                   || CAST(f.walk_no AS VARCHAR)
+                                   || '|{t}'), 1, 15) AS BIGINT)
+             % d.deg AS idx
+    FROM w{t - 1} f JOIN degw d ON d.node = f.cur
+  ) p
+  JOIN adjw a ON a.node = p.cur AND a.idx = p.idx
+)"""
+        )
+    selects = [
+        f"""
+SELECT start_node, walk_no, CAST({t} AS BIGINT) AS step, cur AS node
+FROM w{t}"""
+        for t in range(walk_len + 1)
+    ]
+    return kg_sql(
+        _EDGES_CTE + "".join(ctes) + "\nUNION ALL".join(selects)
+    )
+
+
+ORACLES["kg_random_walks"] = _random_walks_sql(4, 2)
+
+
+# Blocked entity resolution over dictionary titles (operators/
+# linking.py entity_match, block_chars=1, max_len_diff=3,
+# min_sim_micro=300000): levenshtein is unit-cost in both engines;
+# the similarity is snapped to BIGINT micro units.
+ORACLES["kg_entity_match"] = kg_sql(
+    """
+SELECT a.title AS title_a, b.title AS title_b,
+       a.item_id AS item_a, b.item_id AS item_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS lev,
+       CAST(floor((1.0 - CAST(levenshtein(a.title, b.title) AS DOUBLE)
+                   / CAST(greatest(length(a.title), length(b.title))
+                          AS DOUBLE)) * 1000000.0 + 0.5)
+            AS BIGINT) AS sim_micro,
+       (a.item_id = b.item_id) AS same_entity
+FROM cdict a JOIN cdict b
+  ON lower(substr(a.title, 1, 1)) = lower(substr(b.title, 1, 1))
+ AND a.title < b.title
+ AND abs(length(a.title) - length(b.title)) <= 3
+WHERE CAST(floor((1.0 - CAST(levenshtein(a.title, b.title) AS DOUBLE)
+                  / CAST(greatest(length(a.title), length(b.title))
+                         AS DOUBLE)) * 1000000.0 + 0.5)
+           AS BIGINT) >= 300000
+"""
+)
+
+
+# Mean-pooled entity embeddings (operators/similarity.py
+# entity_embeddings): per-dimension float components widened to
+# DOUBLE and snapped to BIGINT micros BEFORE the per-(entity, dim)
+# sum — order-free integer fold, one dividing mean per output row.
+ORACLES["kg_entity_embeddings"] = kg_sql(
+    """
+, mentE AS (SELECT DISTINCT doc_id, item_id FROM tmentions),
+exE AS (
+  SELECT m.item_id,
+         CAST(unnest(generate_series(1, len(e.embedding))) - 1
+              AS BIGINT) AS dim,
+         unnest(list_transform(generate_series(1, len(e.embedding)),
+                               i -> CAST(e.embedding[i] AS DOUBLE)))
+           AS val
+  FROM mentE m
+  JOIN (SELECT vec_id AS doc_id, embedding FROM embeddings) e
+    USING (doc_id)
+),
+perE AS (
+  SELECT item_id, dim,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(floor(val * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_micro
+  FROM exE GROUP BY 1, 2
+)
+SELECT item_id, dim, n_docs, sum_micro,
+       floor(((CAST(sum_micro AS DOUBLE) / 1000000.0)
+              / CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean
+FROM perE
+"""
+)
