@@ -1008,6 +1008,8 @@ _GATE_FIRST = (
     "kg_random_walks",
     "kg_entity_match",
     "kg_entity_embeddings",
+    "td_semdedup",
+    "td_skipgrams",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1432,6 +1434,25 @@ def _kg_entity_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings (seeded codebook, map-only
+    assignment), drop vectors with a lower-id near-dup in their own
+    cell — quadratic work bounded to Σ|cell|² ≈ N²/k."""
+    from wikidata_qrank_spark.operators.similarity import semdedup
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    return semdedup(load_table(spark, sf_dir, "embeddings"))
+
+
+def _td_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts, window 2: offsets
+    explode map-side (2w fan-out) and equi-join on (doc, pos) — never
+    the tokens² position band join."""
+    from wikidata_qrank_spark.operators.textstats import skipgram_pairs
+
+    return skipgram_pairs(_documents(spark, sf_dir))
+
+
 def _td_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _documents(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("token")
@@ -1713,6 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_random_walks"] = _kg_random_walks
     out["kg_entity_match"] = _kg_entity_match
     out["kg_entity_embeddings"] = _kg_entity_embeddings
+    out["td_semdedup"] = _td_semdedup
+    out["td_skipgrams"] = _td_skipgrams
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

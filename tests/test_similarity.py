@@ -259,3 +259,50 @@ def test_entity_embeddings_mean_pool_golden(spark):
     assert rows[(1, 1)].sum_micro == -1250000 + 750000
     assert rows[(1, 1)].mean == -0.25
     assert rows[(2, 0)].sum_micro == 2000000 and rows[(2, 0)].n_docs == 1
+
+
+def test_semdedup_drops_lower_id_near_dups(spark):
+    """Two exact-duplicate pairs and one unique vector in one small
+    corpus: within each duplicate pair the higher id drops, the lower
+    id and the unique vector survive, and survivors+dropped partition
+    the corpus."""
+    from wikidata_qrank_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),      # dup of 0 -> dropped
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.999, 0.01]),   # near-dup of 2 -> dropped
+            (4, [-1.0, 0.0, 0.0]),     # cosine -1 vs 0/1 -> kept
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in semdedup(emb, threshold=0.9,
+                                          num_centroids=2).collect()}
+    assert len(rows) == 5
+    assert rows[0].keep is True
+    assert rows[1].keep is False
+    assert rows[2].keep is True
+    assert rows[3].keep is False
+    assert rows[4].keep is True
+
+
+def test_semdedup_cluster_scoping(spark):
+    """Near-dup pairs are only compared INSIDE a cell: two identical
+    vectors forced into different cells both survive — the documented
+    approximation that buys the N²/k bound (recall comes from scaling
+    k so true dups land together, which nearest-centroid assignment
+    gives identical vectors by construction)."""
+    from wikidata_qrank_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [-1.0, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in
+            semdedup(emb, threshold=0.9, num_centroids=3).collect()}
+    # identical vectors assign to the same nearest centroid -> one drops
+    assert rows[0].cid == rows[1].cid
+    assert rows[0].keep is True and rows[1].keep is False
+    assert rows[2].keep is True

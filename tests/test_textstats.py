@@ -279,3 +279,40 @@ def test_bm25_ignores_empty_tokens_and_tokenless_docs(spark):
     rows = bm25_top_terms(docs, k=3).collect()
     assert {r.doc_id for r in rows} == {1}
     assert {r.term for r in rows} == {"a", "b"}
+
+
+def test_skipgram_pairs_window_golden(spark):
+    """'a b c d' at window 2: every (center, context) with
+    0 < |Δpos| <= 2, counted across two identical docs so min_count=2
+    keeps them all; window 1 drops the distance-2 pairs."""
+    from wikidata_qrank_spark.operators.textstats import skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    got = {(r.center, r.context): r.n_pairs
+           for r in skipgram_pairs(docs, window=2, min_count=2).collect()}
+    expect_pairs = set()
+    toks = ["a", "b", "c", "d"]
+    for i, c in enumerate(toks):
+        for d in (-2, -1, 1, 2):
+            j = i + d
+            if 0 <= j < len(toks):
+                expect_pairs.add((c, toks[j]))
+    assert set(got) == expect_pairs
+    assert all(v == 2 for v in got.values())  # one per doc
+    w1 = {(r.center, r.context)
+          for r in skipgram_pairs(docs, window=1, min_count=2).collect()}
+    assert ("a", "c") not in w1 and ("a", "b") in w1
+
+
+def test_skipgram_min_count_prunes(spark):
+    from wikidata_qrank_spark.operators.textstats import skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "p q")], "doc_id long, text string"
+    )
+    assert skipgram_pairs(docs, window=2, min_count=2).count() == 0
+    got = {(r.center, r.context)
+           for r in skipgram_pairs(docs, window=2, min_count=1).collect()}
+    assert got == {("x", "y"), ("y", "x"), ("p", "q"), ("q", "p")}

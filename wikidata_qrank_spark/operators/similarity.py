@@ -547,3 +547,67 @@ def entity_embeddings(
     return per.select(
         "item_id", "dim", "n_docs", "sum_micro", round6(mean).alias("mean")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.2,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "auto",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings, then dropping any vector with a
+    more-canonical (lower-id) near-duplicate IN ITS OWN CLUSTER at
+    cosine ≥ threshold — rows (vec_id, cid, keep). The training-data
+    curation step between exact/MinHash dedup (surface overlap) and
+    nothing: it removes paraphrases and re-renders that share no
+    n-grams.
+
+    Why the cluster-then-compare shape survives 100 TB: all-pairs
+    cosine over N docs is N², but pairs are only formed WITHIN a cell
+    (self-join keyed on cid — one shuffle, hash-partitioned), so the
+    quadratic term is Σ|cell|² ≈ N²/k, driven down by scaling the
+    codebook with the corpus (k ∝ N/cell_budget; the paper uses
+    ~50k clusters at web scale). Assignment is the map-only
+    ``assign_cells`` (literal codegen or broadcast-numpy — no corpus×k
+    shuffle); the drop rule is a per-pair filter + anti-join, no
+    connected components needed because "keep the lowest id" is
+    order-free and transitive-closure-free by construction.
+
+    Deterministic twin of the DuckDB oracle: seed centroids (every
+    step-th row by id rank), rounded-dot argmax with lowest-cid
+    tiebreak, round6 cosine — the identical rule chain td_ivf_ann
+    pins."""
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    cent_rows = [
+        (r["cid"], [float(x) for x in r["cent"]])
+        for r in seed_centroids(corpus, num_centroids, id_col, vec_col).collect()
+    ]
+    assigned = assign_cells(vecs, "__v", cent_rows, out="cid", impl=impl)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), "cid"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), "cid"
+    )
+    scored = with_cosine(
+        a.join(b, "cid").filter(F.col("id_a") < F.col("id_b")),
+        "__va",
+        "__vb",
+    )
+    dropped = (
+        scored.filter(F.col("cosine") >= F.lit(threshold))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "cid", F.col("__drop").isNull().alias("keep")
+        )
+    )

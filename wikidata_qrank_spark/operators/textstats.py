@@ -576,3 +576,45 @@ def bm25_top_terms(
         .filter(F.col("term_rank") <= k)
         .select("doc_id", "term", "tf", "score", "term_rank")
     )
+
+
+def skipgram_pairs(
+    documents: DataFrame, window: int = 2, min_count: int = 2
+) -> DataFrame:
+    """Word2vec-style skip-gram pair counts: (center, context,
+    n_pairs) over whitespace tokens, counting every (token at p,
+    token at p+d) for 0 < |d| ≤ window — the co-occurrence corpus a
+    skip-gram/GloVe embedding trainer consumes (the textual twin of
+    graph.random_walks' node corpus).
+
+    Shape at scale: the naive formulation joins tokens to tokens on
+    doc_id with a |Δpos| ≤ w band — tokens² fan-out per document.
+    Here each token instead EXPLODES its 2w offsets map-side (a
+    ≤2w-row literal dim, broadcast) and equi-joins on (doc_id, pos) —
+    keyed join, fan-out exactly 2w per token, partial-aggregated
+    counts on (center, context). min_count prunes the hapax tail
+    before it shuffles to the output."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    spark = documents.sparkSession
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    offs = spark.createDataFrame(
+        [(d,) for d in range(-window, window + 1) if d != 0], "d long"
+    )
+    centers = toks.crossJoin(F.broadcast(offs)).select(
+        "doc_id",
+        F.col("tok").alias("center"),
+        (F.col("pos") + F.col("d")).alias("cpos"),
+    )
+    ctx = toks.select(
+        "doc_id", F.col("pos").alias("cpos"), F.col("tok").alias("context")
+    )
+    return (
+        centers.join(ctx, ["doc_id", "cpos"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= F.lit(min_count))
+    )

@@ -3528,3 +3528,63 @@ SELECT item_id, dim, n_docs, sum_micro,
 FROM perE
 """
 )
+
+
+# SemDeDup (operators/similarity.py semdedup, threshold=0.2, k=16):
+# seed centroids by id rank, rounded-dot argmax assignment with
+# lowest-cid tiebreak (the td_ivf_ann rule chain), then within-cluster
+# round6 cosine — drop any vector with a lower-id near-dup in its cell.
+ORACLES["td_semdedup"] = f"""
+WITH params AS (
+  SELECT greatest(1, count(*) // 16) AS step FROM embeddings
+),
+centroids AS (
+  SELECT cid, cent FROM (
+    SELECT vec_id AS cid, embedding AS cent,
+           row_number() OVER (ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) ranked, params
+  WHERE (rn - 1) % step = 0 AND rn <= 1 + 15 * step
+),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS r
+    FROM (
+      SELECT e.vec_id, e.embedding AS v, c.cid,
+             {_DOT_ROUND_SQL.format(a="e.embedding", b="c.cent")} AS sim
+      FROM embeddings e, centroids c
+    )
+  ) WHERE r = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= 0.2
+)
+SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+# Skip-gram pair counts (operators/textstats.py skipgram_pairs,
+# window=2, min_count=2): tokens by position, each center joined to
+# the token at pos+d for d in {-2,-1,1,2} — fan-out exactly 2w.
+ORACLES["td_skipgrams"] = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, len(ts))) - 1 AS BIGINT) AS pos,
+         unnest(ts) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+),
+pairs AS (
+  SELECT t1.tok AS center, t2.tok AS context
+  FROM toks t1
+  CROSS JOIN (VALUES (-2), (-1), (1), (2)) o(d)
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + o.d
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+"""
