@@ -1010,6 +1010,7 @@ _GATE_FIRST = (
     "kg_entity_embeddings",
     "td_semdedup",
     "td_skipgrams",
+    "kg_transe_step",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1434,6 +1435,15 @@ def _kg_entity_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_transe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact TransE gradient step over the triple graph —
+    hash-lattice init, BIGINT micro arithmetic end to end, every
+    shuffle (node, dim)-keyed and partial-aggregated."""
+    from wikidata_qrank_spark.operators.graph import transe_step
+
+    return transe_step(_kg_edges(spark, sf_dir))
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1736,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_entity_embeddings"] = _kg_entity_embeddings
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
+    out["kg_transe_step"] = _kg_transe_step
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

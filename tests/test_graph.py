@@ -566,3 +566,46 @@ def test_random_walks_valid_and_deterministic(spark):
             key = f"{start}|{wno}|{t}".encode()
             h = int(hashlib.md5(key).hexdigest()[:15], 16)
             assert seq[t] == adj[seq[t - 1]][h % len(adj[seq[t - 1]])]
+
+
+def test_transe_step_exact_replay_and_loss_decrease(spark):
+    """Replay the full step in Python (hashlib lattice init, integer
+    diffs/grads, floor-division update) and require bit equality —
+    plus the semantic check that one step at lr=1/100 lowers the
+    squared translation loss on a small graph."""
+    import hashlib
+
+    from wikidata_qrank_spark.operators.graph import transe_step
+
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    dim, denom = 8, 100
+    edges = spark.createDataFrame(pairs, "src_id long, dst_id long")
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+    emb0 = {(v, d): (h60(f"{v}|{d}") % 2001 - 1000) * 1000
+            for v in nodes for d in range(dim)}
+    rel = {d: (h60(f"r|{d}") % 2001 - 1000) * 1000 for d in range(dim)}
+    grad = {k: 0 for k in emb0}
+    for hh, tt in pairs:
+        for d in range(dim):
+            diff = emb0[(hh, d)] + rel[d] - emb0[(tt, d)]
+            grad[(hh, d)] += 2 * diff
+            grad[(tt, d)] -= 2 * diff
+    emb1 = {k: emb0[k] - grad[k] // denom for k in emb0}  # python // floors
+
+    got = {(r.node, r.dim): (r.emb0_micro, r.grad_micro, r.emb1_micro)
+           for r in transe_step(edges, dim=dim, lr_denom=denom).collect()}
+    assert set(got) == set(emb0)
+    for k in emb0:
+        assert got[k] == (emb0[k], grad[k], emb1[k]), k
+
+    def loss(emb):
+        return sum(
+            (emb[(hh, d)] + rel[d] - emb[(tt, d)]) ** 2
+            for hh, tt in pairs for d in range(dim)
+        )
+
+    assert loss(emb1) < loss(emb0)

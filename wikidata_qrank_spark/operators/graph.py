@@ -1161,3 +1161,129 @@ def random_walks(
             )
         )
     return out
+
+
+def transe_step(
+    edges: DataFrame,
+    dim: int = 8,
+    lr_denom: int = 100,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """One exact full-batch gradient step of a TransE-style (Bordes
+    2013) translation embedding over the edge set — the KG-embedding
+    bootstrap, distributed and bit-deterministic: rows (node, dim,
+    emb0_micro, grad_micro, emb1_micro).
+
+    Semantics (single relation type, squared translation loss
+    L = Σ_{(h,t)} Σ_d (e_h[d] + r[d] − e_t[d])²): embeddings and the
+    relation vector initialize from the portable hash —
+    emb0_micro(v, d) = (hash60(v|d) mod 2001 − 1000)·1000, i.e. a
+    deterministic lattice in [−1, 1] at 1e−3 resolution — so BOTH
+    engines derive identical starting points with no RNG. The gradient
+    for e_h is +2·diff and for e_t is −2·diff per incident edge
+    (diff = e_h + r − e_t, an exact micro-int), summed per (node, dim)
+    — order-free integer folds. The update divides by lr_denom
+    (lr = 1/lr_denom) with SIGN-CORRECTED floor division (DuckDB's
+    `//`), keeping every quantity an exact BIGINT end to end: no float
+    enters the recurrence, so chained steps stay in lockstep across
+    engines.
+
+    Scale shape: edges×dim diff rows (dim a small constant) from one
+    node-keyed join against the (node×dim) embedding relation on each
+    endpoint; gradients are two keyed partial-aggregated sums unioned
+    then folded — every shuffle is (node, dim)-keyed and
+    map-side-combined; the relation vector is a dim-row literal. A
+    production trainer adds margin negatives (operators/negatives.py
+    supplies them) and loops steps — each step is this same
+    one-shuffle shape with lineage truncation."""
+    from ..functions.hashing import hash60
+    from ..functions.precision import floor_div
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if lr_denom < 1:
+        raise ValueError(f"lr_denom must be >= 1, got {lr_denom}")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("h"), F.col(dst).alias("t"))
+    nodes = (
+        e.select(F.col("h").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    dims = spark.range(dim).select(F.col("id").cast("long").alias("dim"))
+    emb0 = nodes.crossJoin(F.broadcast(dims)).select(
+        "node",
+        "dim",
+        (
+            (
+                hash60(
+                    F.concat_ws(
+                        "|",
+                        F.col("node").cast("string"),
+                        F.col("dim").cast("string"),
+                    )
+                )
+                % 2001
+                - 1000
+            )
+            * 1000
+        ).alias("emb0_micro"),
+    ).persist()
+    rel = dims.select(
+        "dim",
+        (
+            (hash60(F.concat(F.lit("r|"), F.col("dim").cast("string"))) % 2001 - 1000)
+            * 1000
+        ).alias("r_micro"),
+    )
+    diffs = (
+        e.join(
+            emb0.select(
+                F.col("node").alias("h"), "dim",
+                F.col("emb0_micro").alias("eh"),
+            ),
+            "h",
+        )
+        .join(
+            emb0.select(
+                F.col("node").alias("t"), "dim",
+                F.col("emb0_micro").alias("et"),
+            ),
+            ["t", "dim"],
+        )
+        .join(F.broadcast(rel), "dim")
+        .select(
+            "h",
+            "t",
+            "dim",
+            (F.col("eh") + F.col("r_micro") - F.col("et")).alias("diff"),
+        )
+    )
+    gh = diffs.groupBy(F.col("h").alias("node"), "dim").agg(
+        F.sum(F.lit(2) * F.col("diff")).cast("long").alias("g")
+    )
+    gt = diffs.groupBy(F.col("t").alias("node"), "dim").agg(
+        F.sum(F.lit(-2) * F.col("diff")).cast("long").alias("g")
+    )
+    grad = (
+        gh.unionByName(gt)
+        .groupBy("node", "dim")
+        .agg(F.sum("g").cast("long").alias("grad_micro"))
+    )
+    out = emb0.join(grad, ["node", "dim"], "left").select(
+        "node",
+        "dim",
+        "emb0_micro",
+        F.coalesce("grad_micro", F.lit(0)).cast("long").alias("grad_micro"),
+    )
+    return out.select(
+        "node",
+        "dim",
+        "emb0_micro",
+        "grad_micro",
+        (
+            F.col("emb0_micro")
+            - floor_div("grad_micro", lr_denom)
+        ).cast("long").alias("emb1_micro"),
+    )

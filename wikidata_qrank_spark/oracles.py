@@ -3588,3 +3588,49 @@ pairs AS (
 SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
 FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
 """
+
+
+# One exact TransE gradient step (operators/graph.py transe_step,
+# dim=8, lr=1/100): hash-lattice init, integer micro diffs, order-free
+# BIGINT gradient folds, sign-corrected floor-division update — no
+# float anywhere, so the recurrence is bit-identical across engines.
+ORACLES["kg_transe_step"] = kg_sql(
+    _EDGES_CTE
+    + """
+, dimsT AS (SELECT unnest(generate_series(0, 7)) AS dim),
+embT AS (
+  SELECT node, CAST(dim AS BIGINT) AS dim,
+         (CAST('0x' || substr(md5(CAST(node AS VARCHAR) || '|'
+                                  || CAST(dim AS VARCHAR)), 1, 15)
+               AS BIGINT) % 2001 - 1000) * 1000 AS emb0_micro
+  FROM nodes, dimsT
+),
+relT AS (
+  SELECT CAST(dim AS BIGINT) AS dim,
+         (CAST('0x' || substr(md5('r|' || CAST(dim AS VARCHAR)), 1, 15)
+               AS BIGINT) % 2001 - 1000) * 1000 AS r_micro
+  FROM dimsT
+),
+diffT AS (
+  SELECT e.u AS h, e.v AS t, eh.dim,
+         eh.emb0_micro + r.r_micro - et.emb0_micro AS diff
+  FROM edges e
+  JOIN embT eh ON eh.node = e.u
+  JOIN embT et ON et.node = e.v AND et.dim = eh.dim
+  JOIN relT r ON r.dim = eh.dim
+),
+gradT AS (
+  SELECT node, dim, CAST(sum(g) AS BIGINT) AS grad_micro FROM (
+    SELECT h AS node, dim, 2 * diff AS g FROM diffT
+    UNION ALL
+    SELECT t AS node, dim, -2 * diff AS g FROM diffT
+  ) GROUP BY 1, 2
+)
+SELECT emb.node, emb.dim, emb.emb0_micro,
+       CAST(COALESCE(g.grad_micro, 0) AS BIGINT) AS grad_micro,
+       CAST(emb.emb0_micro - COALESCE(g.grad_micro, 0) // 100
+            AS BIGINT) AS emb1_micro
+FROM embT emb LEFT JOIN gradT g
+  ON emb.node = g.node AND emb.dim = g.dim
+"""
+)
