@@ -346,7 +346,17 @@ def neighborhood_function(
 
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    # EAGER truncation, not lazy persist: the per-round register tables
+    # and the edge relation each feed SEVERAL independent downstream
+    # branches (next round + that round's estimate + the final union).
+    # A lazy cache lets those branches launch concurrently against the
+    # still-unmaterialized relation and RACE-recompute its whole
+    # upstream (measured: 44 s vs 10 s at sf0.1 when edges derive from
+    # the mention pipeline); eager localCheckpoint computes each round
+    # exactly once and keeps the loop's lineage flat.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -357,7 +367,7 @@ def neighborhood_function(
         "__c",
         ["node"],
         bucket_bits,
-    ).persist()
+    ).localCheckpoint(eager=True)
     rounds = []
     for h in range(1, max_hops + 1):
         nbr = e.join(regs.withColumnRenamed("node", "v"), "v").select(
@@ -367,7 +377,7 @@ def neighborhood_function(
             regs.unionByName(nbr)
             .groupBy("node", "__bucket")
             .agg(F.max("__mx").alias("__mx"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         rounds.append(
             hll_estimate_from_registers(regs, ["node"], bucket_bits).withColumn(
@@ -927,6 +937,11 @@ def effective_diameter(
 
     if not 0 < q_permille <= 1000:
         raise ValueError(f"q_permille must be in (0, 1000], got {q_permille}")
+    # one upstream execution total: checkpoint the edge relation here
+    # and feed BOTH the register recurrence and the node count from it
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst)
+    ).localCheckpoint(eager=True)
     nf = neighborhood_function(edges, max_hops, src, dst, bucket_bits)
     per_hop = nf.groupBy("hops").agg(
         F.sum(
