@@ -1011,6 +1011,7 @@ _GATE_FIRST = (
     "td_semdedup",
     "td_skipgrams",
     "kg_transe_step",
+    "kg_degrees_incremental",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1444,6 +1445,15 @@ def _kg_transe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_step(_kg_edges(spark, sf_dir))
 
 
+def _kg_degrees_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM degrees: per-batch weighted edge supports merged with one
+    full-outer sum — history text never re-read; oracle recomputes
+    from scratch and hash equality proves the merge law."""
+    from wikidata_qrank_spark.plans.incremental_kg import kg_degrees_incremental
+
+    return kg_degrees_incremental(spark, sf_dir)
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1747,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step
+    out["kg_degrees_incremental"] = _kg_degrees_incremental
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

@@ -313,3 +313,31 @@ def test_repetition_plan_is_shuffle_free(spark):
 
     plan = _plan_of(repetition_scores(load_table(spark, SF_SMOKE, "documents")))
     assert "Exchange" not in plan
+
+
+def test_degrees_incremental_equals_full_recompute(spark):
+    """IVM merge law on adjacency state: degrees maintained from
+    (history, delta) support tables equal degrees recomputed from the
+    full corpus, on the gate's own split."""
+    from wikidata_qrank_spark.operators.graph import degrees
+    from wikidata_qrank_spark.operators.linking import canonical_dictionary
+    from wikidata_qrank_spark.plans.incremental_kg import degrees_incremental
+    from wikidata_qrank_spark.plans.pipeline import build_graph
+    from wikidata_qrank_spark.sources.interleaved import dictionary, redirects
+    from wikidata_qrank_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    documents = load_table(spark, SF_SMOKE, "documents")
+    d = dictionary(documents)
+    cdict = canonical_dictionary(d, redirects(d)).localCheckpoint(eager=True)
+    inc = sorted(
+        tuple(r)
+        for r in degrees_incremental(
+            documents, cdict, F.col("doc_id") % 10 == 0
+        ).collect()
+    )
+    full_edges = build_graph(spark, SF_SMOKE)["triples"].select(
+        "src_id", "dst_id"
+    )
+    full = sorted(tuple(r) for r in degrees(full_edges).collect())
+    assert inc == full

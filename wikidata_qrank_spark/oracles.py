@@ -3634,3 +3634,10 @@ FROM embT emb LEFT JOIN gradT g
   ON emb.node = g.node AND emb.dim = g.dim
 """
 )
+
+
+# Incremental degree maintenance (plans/incremental_kg.py
+# degrees_incremental): the oracle recomputes degrees over the WHOLE
+# corpus — hash equality against the Spark-side batch-merged form is
+# the IVM invariant (same proof shape as kg_qviews_incremental).
+ORACLES["kg_degrees_incremental"] = ORACLES["kg_degrees"]

@@ -138,3 +138,78 @@ def kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 != 0,
         F.col("doc_id") % 5 != 1,
     )
+
+
+def degrees_incremental(
+    documents: DataFrame, cdict: DataFrame, delta_pred
+) -> DataFrame:
+    """(node, out_degree, in_degree) maintained incrementally: history
+    and the new batch each derive a per-batch WEIGHTED edge table
+    (edge key → support count; documents are atomic, so
+    consecutive-mention edges never straddle a batch), the supports
+    merge with one full-outer sum on the edge key, and degrees count
+    the surviving DISTINCT edges. Distinct is not directly mergeable —
+    the support multiset is the auxiliary state that makes it IVM-able
+    (a key is present iff its merged support ≥ 1; deletions would
+    subtract supports against the same state).
+
+    Cost shape: history text is never re-read once its support table
+    stands — the merge is O(|Δ| + |edge keys|) on KB-scale keys, and
+    the degree fold is the usual node-keyed aggregation. Gate proof:
+    hash equality against the full-recompute oracle (the
+    kg_qviews_incremental pattern applied to the graph's adjacency
+    state)."""
+    from pyspark.sql import Window
+
+    from ..operators.mentions import text_mentions
+    from ..sources.interleaved import spans
+
+    def support(pred) -> DataFrame:
+        m = text_mentions(spans(documents.filter(pred)), cdict)
+        w = Window.partitionBy("doc_id").orderBy("offset")
+        return (
+            m.withColumn("__next", F.lead("item_id").over(w))
+            .filter(
+                F.col("__next").isNotNull()
+                & (F.col("__next") != F.col("item_id"))
+            )
+            .groupBy(
+                F.col("item_id").alias("src_id"),
+                F.col("__next").alias("dst_id"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+
+    base = support(~delta_pred)
+    delta = support(delta_pred)
+    merged = (
+        base.join(delta, ["src_id", "dst_id"], "full_outer")
+        .select(
+            "src_id",
+            "dst_id",
+            (
+                F.coalesce(base["support"], F.lit(0))
+                + F.coalesce(delta["support"], F.lit(0))
+            ).alias("support"),
+        )
+        .filter(F.col("support") >= 1)
+    )
+    from ..operators.graph import degrees
+
+    return degrees(merged.select("src_id", "dst_id"))
+
+
+def kg_degrees_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate composition: delta = documents with doc_id % 10 == 0; the
+    oracle recomputes degrees over the whole corpus directly — hash
+    equality proves merge(agg(base), agg(delta)) == agg(base ∪ delta)
+    on the graph adjacency state."""
+    from ..operators.linking import canonical_dictionary
+    from ..sources.interleaved import dictionary, redirects
+    from ..sources.tables import load_table
+
+    documents = load_table(spark, sf_dir, "documents")
+    d = dictionary(documents)
+    # two-consumer dictionary truncation, as in kg_qviews_incremental
+    cdict = canonical_dictionary(d, redirects(d)).localCheckpoint(eager=True)
+    return degrees_incremental(documents, cdict, F.col("doc_id") % 10 == 0)
