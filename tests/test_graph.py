@@ -609,3 +609,76 @@ def test_transe_step_exact_replay_and_loss_decrease(spark):
         )
 
     assert loss(emb1) < loss(emb0)
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_skipgram_plan_has_no_cartesian(spark):
+    """The 2w-offset design claim, asserted on the physical plan: the
+    only nested-loop join is the broadcast of the ≤2w-row offset dim;
+    the token-to-token match is a keyed equi-join (hash or sort-merge),
+    never a CartesianProduct or a position-band nested loop."""
+    from wikidata_qrank_spark.operators.textstats import skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _plan_of(skipgram_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the offsets dim
+
+
+def test_random_walks_step_join_is_keyed(spark):
+    """Each step probes the ranked adjacency on (node, idx) — a keyed
+    equi-join; no cartesian anywhere, and the only nested-loop
+    broadcast is the constant walk_no dim."""
+    from wikidata_qrank_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], "src_id long, dst_id long"
+    )
+    plan = _plan_of(random_walks(edges, walk_len=2, walks_per_node=2))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_entity_match_block_join_is_equi(spark):
+    """The ER block is an equi-key join on the blocking key (hash
+    partitioned), not an all-pairs comparison: no cartesian / nested
+    loop in the plan even with broadcast disabled."""
+    from wikidata_qrank_spark.operators.linking import entity_match
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = spark.createDataFrame(
+            [(f"title{i}", i) for i in range(50)], "title string, item_id long"
+        )
+        plan = _plan_of(entity_match(d))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_link_prediction_does_not_broadcast_degree_dim(spark):
+    """The degree dim scales with the KB — link_prediction must leave
+    its joins unhinted (AQE decides): with auto-broadcast off, no
+    BroadcastHashJoin survives in the plan."""
+    from wikidata_qrank_spark.operators.graph import link_prediction
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.createDataFrame(
+            [(i, (i * 3 + 1) % 30) for i in range(30)],
+            "src_id long, dst_id long",
+        )
+        plan = _plan_of(link_prediction(edges))
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
