@@ -1012,6 +1012,8 @@ _GATE_FIRST = (
     "td_skipgrams",
     "kg_transe_step",
     "kg_degrees_incremental",
+    "kg_truss",
+    "td_kneser_ney",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1454,6 +1456,24 @@ def _kg_degrees_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_degrees_incremental(spark, sf_dir)
 
 
+def _kg_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=3, 2 peel rounds) with per-edge triangle support —
+    degree-ordered support kernel per round (hub-safe), early exit at
+    the fixpoint keeps lockstep with the fixed-round oracle."""
+    from wikidata_qrank_spark.operators.graph import k_truss
+
+    return k_truss(_kg_edges(spark, sf_dir), k=3, rounds=2)
+
+
+def _td_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM: integer count ingredients
+    (c12, c1, continuation/history type counts, B) combined once per
+    row — the standard n-gram smoother, engine-exact."""
+    from wikidata_qrank_spark.operators.textstats import kneser_ney_bigrams
+
+    return kneser_ney_bigrams(_documents(spark, sf_dir))
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1754,10 +1774,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_random_walks"] = _kg_random_walks
     out["kg_entity_match"] = _kg_entity_match
     out["kg_entity_embeddings"] = _kg_entity_embeddings
+    out["td_kneser_ney"] = _td_kneser_ney
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step
     out["kg_degrees_incremental"] = _kg_degrees_incremental
+    out["kg_truss"] = _kg_truss
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _GATE_FIRST:
         ordered[key] = out[key]

@@ -682,3 +682,32 @@ def test_link_prediction_does_not_broadcast_degree_dim(spark):
         assert "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_edge_support_golden(spark):
+    """Triangle {1,2,3} + pendant edge (3,4): triangle edges carry
+    support 1, the pendant 0 (kept via the left join)."""
+    from wikidata_qrank_spark.operators.graph import edge_support
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    got = {(r.node_a, r.node_b): r.support
+           for r in edge_support(edges).collect()}
+    assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 1, (3, 4): 0}
+
+
+def test_k_truss_peels_and_cascades(spark):
+    """Diamond (two triangles sharing edge 2-3): at k=3 the pendant
+    peels but both triangles survive; at k=4 the 1-support edges peel
+    in round one, which starves edge (2,3) and cascades to empty in
+    round two — the multi-round behavior a single support filter
+    misses."""
+    from wikidata_qrank_spark.operators.graph import k_truss
+
+    edges = _edges(
+        spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)]
+    )
+    t3 = {(r.node_a, r.node_b): r.support
+          for r in k_truss(edges, k=3, rounds=3).collect()}
+    assert set(t3) == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+    assert t3[(2, 3)] == 2 and t3[(1, 2)] == 1
+    assert k_truss(edges, k=4, rounds=3).count() == 0

@@ -316,3 +316,23 @@ def test_skipgram_min_count_prunes(spark):
     got = {(r.center, r.context)
            for r in skipgram_pairs(docs, window=2, min_count=1).collect()}
     assert got == {("x", "y"), ("y", "x"), ("p", "q"), ("q", "p")}
+
+
+def test_kneser_ney_hand_golden(spark):
+    """Corpus 'a b a c' + 'b a': hand-computed interpolated KN with
+    D=0.75 — discounted ML term plus continuation backoff. Seen-mass
+    check: probabilities are in (0,1) and the seen continuations of a
+    context sum to < 1 (the discount reserves mass for unseen)."""
+    from wikidata_qrank_spark.operators.textstats import kneser_ney_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2): (r.c12, r.p_kn)
+           for r in kneser_ney_bigrams(docs).collect()}
+    assert got == {
+        ("a", "b"): (1, 0.375),
+        ("a", "c"): (1, 0.375),
+        ("b", "a"): (2, 0.75),
+    }
+    assert got[("a", "b")][1] + got[("a", "c")][1] < 1.0

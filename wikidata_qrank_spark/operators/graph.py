@@ -1302,3 +1302,131 @@ def transe_step(
             - floor_div("grad_micro", lr_denom)
         ).cast("long").alias("emb1_micro"),
     )
+
+
+def edge_support(
+    edges: DataFrame, src: str = "src_id", dst: str = "dst_id"
+) -> DataFrame:
+    """(node_a, node_b, support) — per-edge triangle support over the
+    undirected simple graph (a < b): how many triangles contain the
+    edge, 0 for triangle-free edges (kept via the left join). Support
+    is THE k-truss quantity and a sharper tie-strength signal than
+    endpoint degrees.
+
+    Triangles enumerate once each via the same degree-ordered
+    orientation as :func:`triangles` (wedge fan-out bounded by oriented
+    out-degree — hub-safe); each triangle then credits its three edges
+    through one explode + (a, b)-keyed count. The oracle recounts with
+    a plain ordered 3-way self-join."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
+        F.col(src) != F.col(dst)
+    )
+    und = e.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+    return _edge_support_on_und(und)
+
+
+def _edge_support_on_und(und: DataFrame) -> DataFrame:
+    """Support over an already-normalized (a < b) distinct edge set —
+    the per-round kernel :func:`k_truss` re-invokes on the surviving
+    edges."""
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    g = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = g.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedge_order = (F.col("o1.dv") < F.col("o2.dv")) | (
+        (F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v"))
+    )
+    tri = (
+        o1.join(o2, (F.col("o1.u") == F.col("o2.u")) & wedge_order)
+        .select(
+            F.col("o1.u").alias("p"),
+            F.col("o1.v").alias("q"),
+            F.col("o2.v").alias("r"),
+        )
+        .join(oriented.select(F.col("u").alias("q"), F.col("v").alias("r")), ["q", "r"])
+    )
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+                ),
+                F.struct(
+                    F.least("p", "r").alias("a"), F.greatest("p", "r").alias("b")
+                ),
+                F.struct(
+                    F.least("q", "r").alias("a"), F.greatest("q", "r").alias("b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = tri_edges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return und.join(sup, ["a", "b"], "left").select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(node_a, node_b, support) — the edges surviving ``rounds``
+    synchronous peeling iterations toward the k-truss (every edge in
+    ≥ k−2 triangles among surviving edges), support as of the LAST
+    recount. Fixed round count (with early exit when a round peels
+    nothing) keeps both engines in lockstep — at a fixpoint further
+    rounds are no-ops, the same contract as k_core's peeling.
+
+    Per round: one support recount (the degree-ordered triangle
+    kernel — hub-safe) + one filter; the surviving edge set is
+    localCheckpoint-ed per round (flat lineage, and each round's set
+    feeds BOTH the recount and the next round — the diamond rule the
+    HyperANF race taught)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
+        F.col(src) != F.col(dst)
+    )
+    und = (
+        e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sup = _edge_support_on_und(und)
+    for _ in range(rounds):
+        kept = sup.filter(F.col("support") >= F.lit(k - 2))
+        n_before = und.count()
+        und = kept.select(
+            F.col("node_a").alias("a"), F.col("node_b").alias("b")
+        ).localCheckpoint(eager=True)
+        sup = _edge_support_on_und(und)
+        if und.count() == n_before:
+            break
+    return sup.select("node_a", "node_b", "support")

@@ -618,3 +618,67 @@ def skipgram_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .filter(F.col("n_pairs") >= F.lit(min_count))
     )
+
+
+def kneser_ney_bigrams(
+    documents: DataFrame, discount: float = 0.75, min_count: int = 1
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999) over whitespace tokens: rows (w1, w2, c12, p_kn)
+    with p_kn = max(c12 − D, 0)/c1 + (D·N1+(w1·)/c1)·(N1+(·w2)/B) —
+    absolute discounting plus the continuation-probability backoff
+    that made KN the standard n-gram smoother (a word's unigram
+    backoff mass is how many CONTEXTS it completes, not how often it
+    occurs — 'Francisco' is frequent but only ever follows 'San').
+
+    Engine-exact discipline: every ingredient is an integer count
+    (c12, c1 = Σ c12 over w1, N1+(w1·) = distinct continuations,
+    N1+(·w2) = distinct histories, B = distinct bigram types), combined
+    once per output row in a fixed double-expression order and
+    round6-ed — the oracle evaluates the identical text.
+
+    Scale shape: one lead-window per document (doc-keyed, the same
+    shape as the triple derivation), then token-keyed partial-agg
+    counts; c1/N1+ are token-scale dims re-joined on w1/w2; B is a
+    1-row aggregate crossJoined broadcast (the corpus-size pattern of
+    cooccurrence_pmi). Nothing quadratic, no text shuffle past the
+    bigram projection."""
+    from pyspark.sql import Window
+
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1_fwd"),
+    )
+    right = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1_bwd")
+    )
+    btypes = c12.agg(F.count(F.lit(1)).cast("long").alias("b_types"))
+    d = F.lit(float(discount))
+    joined = (
+        c12.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(btypes))
+    )
+    p = (
+        F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (d * F.col("n1_fwd").cast("double") / F.col("c1").cast("double"))
+        * (F.col("n1_bwd").cast("double") / F.col("b_types").cast("double"))
+    )
+    return joined.filter(F.col("c12") >= F.lit(min_count)).select(
+        "w1", "w2", "c12", round6(p).alias("p_kn")
+    )

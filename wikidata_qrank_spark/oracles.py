@@ -3641,3 +3641,97 @@ FROM embT emb LEFT JOIN gradT g
 # corpus — hash equality against the Spark-side batch-merged form is
 # the IVM invariant (same proof shape as kg_qviews_incremental).
 ORACLES["kg_degrees_incremental"] = ORACLES["kg_degrees"]
+
+
+# k-truss peeling (operators/graph.py k_truss, k=3, rounds=2): per
+# round the oracle recounts edge support with a plain ordered 3-way
+# self-join (e1=(p,q), e2=(q,r), e3=(p,r) with a<b edges gives each
+# triangle exactly once) and drops edges below k-2; at a fixpoint
+# extra rounds are no-ops, so the fixed unroll stays in lockstep with
+# the engine's early-exit loop.
+def _k_truss_sql(k: int, rounds: int) -> str:
+    def sup_cte(r: int) -> str:
+        return f""",
+tri{r} AS MATERIALIZED (
+  SELECT e1.a AS p, e1.b AS q, e2.b AS r
+  FROM und{r} e1
+  JOIN und{r} e2 ON e2.a = e1.b
+  JOIN und{r} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sup{r} AS MATERIALIZED (
+  SELECT u.a AS node_a, u.b AS node_b,
+         CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+  FROM und{r} u LEFT JOIN (
+    SELECT a, b, count(*) AS c FROM (
+      SELECT p AS a, q AS b FROM tri{r}
+      UNION ALL SELECT q AS a, r AS b FROM tri{r}
+      UNION ALL SELECT p AS a, r AS b FROM tri{r}
+    ) GROUP BY 1, 2
+  ) s ON u.a = s.a AND u.b = s.b
+)"""
+
+    ctes = [
+        """,
+und0 AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM edges WHERE u <> v
+)"""
+    ]
+    ctes.append(sup_cte(0))
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f""",
+und{r} AS MATERIALIZED (
+  SELECT node_a AS a, node_b AS b FROM sup{r - 1}
+  WHERE support >= {k - 2}
+)"""
+        )
+        ctes.append(sup_cte(r))
+    return kg_sql(
+        _EDGES_CTE
+        + "".join(ctes)
+        + f"\nSELECT node_a, node_b, support FROM sup{rounds}\n"
+    )
+
+
+ORACLES["kg_truss"] = _k_truss_sql(3, 2)
+
+
+# Interpolated Kneser-Ney bigram LM (operators/textstats.py
+# kneser_ney_bigrams, D=0.75): integer count ingredients, one fixed
+# double expression per row, round6 — identical text both engines.
+ORACLES["td_kneser_ney"] = """
+WITH toksK AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, len(ts))) - 1 AS BIGINT) AS pos,
+         unnest(ts) AS w1
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+),
+bgK AS (
+  SELECT t1.w1, t2.w1 AS w2
+  FROM toksK t1 JOIN toksK t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+),
+c12K AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bgK GROUP BY 1, 2
+),
+leftK AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1_fwd
+  FROM c12K GROUP BY 1
+),
+rightK AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1_bwd FROM c12K GROUP BY 1
+),
+bK AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM c12K)
+SELECT c.w1, c.w2, c.c12,
+       floor((greatest(CAST(c.c12 AS DOUBLE) - 0.75, 0.0)
+                / CAST(l.c1 AS DOUBLE)
+              + (0.75 * CAST(l.n1_fwd AS DOUBLE) / CAST(l.c1 AS DOUBLE))
+                * (CAST(r.n1_bwd AS DOUBLE) / CAST(b.b_types AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS p_kn
+FROM c12K c
+JOIN leftK l ON c.w1 = l.w1
+JOIN rightK r ON c.w2 = r.w2
+CROSS JOIN bK b
+"""
