@@ -1014,6 +1014,7 @@ _GATE_FIRST = (
     "kg_degrees_incremental",
     "kg_truss",
     "td_kneser_ney",
+    "td_vocab_coverage",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1474,6 +1475,15 @@ def _td_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_bigrams(_documents(spark, sf_dir))
 
 
+def _td_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab curve: global (count desc) rank + running
+    corpus coverage permille via the two-phase prefix-sum pattern —
+    no single-partition sort."""
+    from wikidata_qrank_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_documents(spark, sf_dir))
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1775,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_entity_match"] = _kg_entity_match
     out["kg_entity_embeddings"] = _kg_entity_embeddings
     out["td_kneser_ney"] = _td_kneser_ney
+    out["td_vocab_coverage"] = _td_vocab_coverage
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

@@ -336,3 +336,54 @@ def test_kneser_ney_hand_golden(spark):
         ("b", "a"): (2, 0.75),
     }
     assert got[("a", "b")][1] + got[("a", "c")][1] < 1.0
+
+
+def test_vocab_coverage_golden_with_ties(spark):
+    """'b b a a c' ranks (count desc, token asc): a and b tie at 2 ->
+    a first; cumulative permille is exact integer division of the
+    running total."""
+    from wikidata_qrank_spark.operators.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "b b a a c")], "doc_id long, text string"
+    )
+    got = {r.token: (r.rank, r.cnt, r.cum_cnt, r.cum_permille)
+           for r in vocab_coverage(docs).collect()}
+    assert got == {
+        "a": (1, 2, 2, 400),
+        "b": (2, 2, 4, 800),
+        "c": (3, 1, 5, 1000),
+    }
+
+
+def test_vocab_coverage_two_phase_matches_single_window(spark):
+    """Partitioning-independence: the two-phase rank/prefix-sum over a
+    200-token Zipf-ish corpus equals the single-window computation."""
+    from pyspark.sql import Window
+    from wikidata_qrank_spark.operators.textstats import vocab_coverage
+
+    text = " ".join(f"tok{i % 23 % (1 + i % 7)}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(i, text[i:] or "x") for i in range(5)], "doc_id long, text string"
+    )
+    got = sorted(tuple(r) for r in vocab_coverage(docs).collect())
+    counts = (
+        docs.selectExpr("explode(split(text, ' ')) AS token")
+        .groupBy("token")
+        .count()
+    )
+    from pyspark.sql import functions as FF
+
+    w = Window.orderBy(FF.col("count").desc(), FF.col("token").asc())
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = counts.agg(FF.sum("count")).collect()[0][0]
+    ref = sorted(
+        (r.token, r["count"], r.rank, r.cum,
+         (r.cum * 1000) // total)
+        for r in counts.select(
+            "token", "count",
+            FF.row_number().over(w).alias("rank"),
+            FF.sum("count").over(ws).alias("cum"),
+        ).collect()
+    )
+    assert got == ref

@@ -682,3 +682,71 @@ def kneser_ney_bigrams(
     return joined.filter(F.col("c12") >= F.lit(min_count)).select(
         "w1", "w2", "c12", round6(p).alias("p_kn")
     )
+
+
+def vocab_coverage(
+    documents: DataFrame, min_count: int = 1
+) -> DataFrame:
+    """Tokenizer-training vocabulary curve: (token, cnt, rank,
+    cum_cnt, cum_permille) — tokens ranked by (count desc, token asc)
+    with the RUNNING corpus coverage each prefix of the vocabulary
+    buys (the "top-V tokens cover X‰ of the corpus" table that decides
+    a tokenizer's vocab size). cum_permille = (cum_cnt·1000) div total
+    — exact integer division, order-proof.
+
+    No single-partition sort: both the global rank and the running
+    total use the two-phase pattern of rank.global_row_number —
+    repartitionByRange on the order key, per-partition window
+    (row_number + running sum), then a ≤#partitions-row exclusive
+    prefix-sum dim (count AND weight) broadcast back. The corpus total
+    is a 1-row crossJoin broadcast. Shuffles: token-keyed count
+    partials + one range exchange; the window never sees more than a
+    partition."""
+    from pyspark.sql import Window
+
+    counts = (
+        documents.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(min_count))
+    )
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    parts = documents.sparkSession.sparkContext.defaultParallelism
+    ranged = counts.repartitionByRange(parts, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sizes = ranged.groupBy("__pid").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("cnt").cast("long").alias("__s"),
+    )
+    offsets = (
+        sizes.alias("a")
+        .join(
+            F.broadcast(sizes.alias("b")),
+            F.col("b.__pid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(
+            F.coalesce(F.sum("b.__n"), F.lit(0)).cast("long").alias("__off_n"),
+            F.coalesce(F.sum("b.__s"), F.lit(0)).cast("long").alias("__off_s"),
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = counts.agg(F.sum("cnt").cast("long").alias("__total"))
+    return (
+        ranged.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cum", F.sum("cnt").over(wsum))
+        .join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            (F.col("__rn") + F.col("__off_n")).cast("long").alias("rank"),
+            (F.col("__cum") + F.col("__off_s")).cast("long").alias("cum_cnt"),
+            F.expr("((__cum + __off_s) * 1000) div __total")
+            .cast("long")
+            .alias("cum_permille"),
+        )
+    )

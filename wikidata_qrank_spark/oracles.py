@@ -3735,3 +3735,26 @@ JOIN leftK l ON c.w1 = l.w1
 JOIN rightK r ON c.w2 = r.w2
 CROSS JOIN bK b
 """
+
+
+# Vocabulary coverage curve (operators/textstats.py vocab_coverage):
+# single-node window replay of the engine's two-phase global
+# rank/prefix-sum; exact integer permille.
+ORACLES["td_vocab_coverage"] = """
+WITH cntV AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cntV)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+            AS BIGINT) AS rank,
+       CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                           ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_cnt,
+       CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                           ROWS UNBOUNDED PRECEDING) * 1000 // total
+            AS BIGINT) AS cum_permille
+FROM cntV CROSS JOIN tot
+"""
