@@ -1220,7 +1220,13 @@ def transe_step(
     if lr_denom < 1:
         raise ValueError(f"lr_denom must be >= 1, got {lr_denom}")
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("h"), F.col(dst).alias("t"))
+    # eager truncation: e feeds the node derivation (twice) and the
+    # diff join; emb0 feeds both endpoint joins and the final update —
+    # lazy persist would let those branches race-recompute upstream
+    # (the HyperANF lesson)
+    e = edges.select(
+        F.col(src).alias("h"), F.col(dst).alias("t")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("h").alias("node"))
         .unionByName(e.select(F.col("t").alias("node")))
@@ -1244,7 +1250,7 @@ def transe_step(
             )
             * 1000
         ).alias("emb0_micro"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     rel = dims.select(
         "dim",
         (
@@ -1275,16 +1281,27 @@ def transe_step(
             (F.col("eh") + F.col("r_micro") - F.col("et")).alias("diff"),
         )
     )
-    gh = diffs.groupBy(F.col("h").alias("node"), "dim").agg(
-        F.sum(F.lit(2) * F.col("diff")).cast("long").alias("g")
-    )
-    gt = diffs.groupBy(F.col("t").alias("node"), "dim").agg(
-        F.sum(F.lit(-2) * F.col("diff")).cast("long").alias("g")
-    )
-    grad = (
-        gh.unionByName(gt)
-        .groupBy("node", "dim")
-        .agg(F.sum("g").cast("long").alias("grad_micro"))
+    # both endpoint gradients in ONE pass: explode each diff row into
+    # its two (node, contribution) halves map-side, then a single
+    # (node, dim)-keyed fold — no diamond over the diff relation, so
+    # nothing to cache and one shuffle instead of two plus a union
+    contribs = diffs.select(
+        "dim",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("h").alias("node"),
+                    (F.lit(2) * F.col("diff")).alias("g"),
+                ),
+                F.struct(
+                    F.col("t").alias("node"),
+                    (F.lit(-2) * F.col("diff")).alias("g"),
+                ),
+            )
+        ).alias("c"),
+    ).select(F.col("c.node").alias("node"), "dim", F.col("c.g").alias("g"))
+    grad = contribs.groupBy("node", "dim").agg(
+        F.sum("g").cast("long").alias("grad_micro")
     )
     out = emb0.join(grad, ["node", "dim"], "left").select(
         "node",

@@ -587,7 +587,14 @@ def semdedup(
         (r["cid"], [float(x) for x in r["cent"]])
         for r in seed_centroids(corpus, num_centroids, id_col, vec_col).collect()
     ]
-    assigned = assign_cells(vecs, "__v", cent_rows, out="cid", impl=impl)
+    # assigned feeds THREE consumers (both pair sides and the final
+    # keep join) — eager truncation runs the corpus scan + assignment
+    # once instead of letting the branches race-recompute it; the
+    # materialized width is (id, vector, cid), which the pair join
+    # needs resident anyway
+    assigned = assign_cells(vecs, "__v", cent_rows, out="cid", impl=impl).localCheckpoint(
+        eager=True
+    )
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), "cid"
     )

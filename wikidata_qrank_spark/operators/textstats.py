@@ -656,9 +656,12 @@ def kneser_ney_bigrams(
         .filter(F.col("w2").isNotNull())
         .select("w1", "w2")
     )
+    # c12 feeds FOUR consumers (left/right dims, the type total, and
+    # the final join) — eager truncation computes the bigram pipeline
+    # once; the table is bigram-type-scale, far below the corpus
     c12 = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
-    )
+    ).localCheckpoint(eager=True)
     left = c12.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1_fwd"),
@@ -704,11 +707,14 @@ def vocab_coverage(
     partition."""
     from pyspark.sql import Window
 
+    # counts feeds the range exchange AND the corpus total — eager
+    # truncation scans the corpus once; the table is vocab-scale
     counts = (
         documents.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") >= F.lit(min_count))
+        .localCheckpoint(eager=True)
     )
     order = [F.col("cnt").desc(), F.col("token").asc()]
     parts = documents.sparkSession.sparkContext.defaultParallelism
