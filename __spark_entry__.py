@@ -1015,6 +1015,8 @@ _GATE_FIRST = (
     "kg_truss",
     "td_kneser_ney",
     "td_vocab_coverage",
+    "kg_degree_histogram",
+    "kg_er_metrics",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1484,6 +1486,30 @@ def _td_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(_documents(spark, sf_dir))
 
 
+def _kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution per endpoint role over the doc→entity
+    incidence — the graph-audit skew evidence; O(distinct degrees)
+    output."""
+    from wikidata_qrank_spark.operators.graph import degree_histogram
+
+    edges = (
+        build_graph(spark, sf_dir)["text_mentions"]
+        .select(
+            F.col("doc_id").alias("src_id"), F.col("item_id").alias("dst_id")
+        )
+        .distinct()
+    )
+    return degree_histogram(edges)
+
+
+def _kg_er_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality report for the ER matcher: candidate pairs
+    under block+band vs all-pairs, reduction ratio in permille."""
+    from wikidata_qrank_spark.operators.linking import er_blocking_metrics
+
+    return er_blocking_metrics(build_graph(spark, sf_dir)["canonical_dictionary"])
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1786,6 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_entity_embeddings"] = _kg_entity_embeddings
     out["td_kneser_ney"] = _td_kneser_ney
     out["td_vocab_coverage"] = _td_vocab_coverage
+    out["kg_degree_histogram"] = _kg_degree_histogram
+    out["kg_er_metrics"] = _kg_er_metrics
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

@@ -58,3 +58,19 @@ def test_entity_match_rejects_bad_block_chars(spark):
     d = spark.createDataFrame([("a", 1)], "title string, item_id long")
     with pytest.raises(ValueError):
         entity_match(d, block_chars=0)
+
+
+def test_er_blocking_metrics_golden(spark):
+    """5 titles = 10 all-pairs; blocks {j: jack/jill/joke} and
+    {z: zeus/zen} give 3 + 1 block pairs before the length band;
+    'zen'(3) vs 'zeus'(4) stays inside the +-3 band -> 4 candidates,
+    reduction = 1000*(10-4)//10 = 600."""
+    from wikidata_qrank_spark.operators.linking import er_blocking_metrics
+
+    d = spark.createDataFrame(
+        [("jack", 1), ("jill", 2), ("joke", 3), ("zeus", 4), ("zen", 5)],
+        "title string, item_id long",
+    )
+    row = er_blocking_metrics(d).collect()[0]
+    assert (row.n_titles, row.n_candidate_pairs, row.n_all_pairs,
+            row.reduction_permille) == (5, 4, 10, 600)

@@ -711,3 +711,14 @@ def test_k_truss_peels_and_cascades(spark):
     assert set(t3) == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
     assert t3[(2, 3)] == 2 and t3[(1, 2)] == 1
     assert k_truss(edges, k=4, rounds=3).count() == 0
+
+
+def test_degree_histogram_golden(spark):
+    """src degrees {1:2, 4:1} -> out histogram {2:1, 1:1}; dst degrees
+    {2:1, 3:1, 5:1} -> in histogram {1:3}."""
+    from wikidata_qrank_spark.operators.graph import degree_histogram
+
+    edges = _edges(spark, [(1, 2), (1, 3), (4, 5)])
+    got = {(r.side, r.degree): r.n_nodes
+           for r in degree_histogram(edges).collect()}
+    assert got == {("out", 2): 1, ("out", 1): 1, ("in", 1): 3}

@@ -1447,3 +1447,29 @@ def k_truss(
         if und.count() == n_before:
             break
     return sup.select("node_a", "node_b", "support")
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src_id", dst: str = "dst_id"
+) -> DataFrame:
+    """(side, degree, n_nodes) — the degree distribution of each
+    endpoint role ('out' over src, 'in' over dst): the first plot of
+    any graph audit and the skew evidence that picks join strategies
+    (a heavy tail says salt/AQE-skew the node-keyed joins; a flat one
+    says don't bother). Two keyed counts + one count-of-counts each —
+    output is O(distinct degrees), tiny at any graph size."""
+    out_h = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.lit("out").alias("side"), F.col("degree").cast("long"), "n_nodes")
+    )
+    in_h = (
+        edges.groupBy(F.col(dst).alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.lit("in").alias("side"), F.col("degree").cast("long"), "n_nodes")
+    )
+    return out_h.unionByName(in_h)

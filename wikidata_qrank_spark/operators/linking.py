@@ -154,3 +154,46 @@ def entity_match(
         )
         .filter(F.col("sim_micro") >= F.lit(min_sim_micro))
     )
+
+
+def er_blocking_metrics(
+    dict_df: DataFrame,
+    block_chars: int = 1,
+    max_len_diff: int = 3,
+) -> DataFrame:
+    """One row — (n_titles, n_candidate_pairs, n_all_pairs,
+    reduction_permille): the blocking-quality report for
+    :func:`entity_match`. Reduction ratio (how many of the n·(n−1)/2
+    comparisons the block+band key eliminates) is THE dial for an ER
+    blocking scheme — tune block_chars until candidates fit the
+    comparison budget while labeled matches stay inside blocks.
+    Candidate counting reuses entity_match with the score threshold
+    off, so the metric measures exactly the join the matcher runs;
+    integer permille, n·(n−1)/2 in exact BIGINTs."""
+    cand = entity_match(
+        dict_df,
+        block_chars=block_chars,
+        max_len_diff=max_len_diff,
+        min_sim_micro=0,
+    )
+    counts = dict_df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_titles")
+    )
+    pairs = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+    )
+    return (
+        counts.crossJoin(F.broadcast(pairs))
+        .select(
+            "n_titles",
+            "n_candidate_pairs",
+            F.expr("(n_titles * (n_titles - 1)) div 2")
+            .cast("long")
+            .alias("n_all_pairs"),
+            F.expr(
+                "CAST((1000 * (n_titles * (n_titles - 1) div 2"
+                " - n_candidate_pairs))"
+                " div (n_titles * (n_titles - 1) div 2) AS BIGINT)"
+            ).alias("reduction_permille"),
+        )
+    )

@@ -3758,3 +3758,43 @@ SELECT token, cnt,
             AS BIGINT) AS cum_permille
 FROM cntV CROSS JOIN tot
 """
+
+
+# Degree distribution histogram (operators/graph.py degree_histogram)
+# over the doc→entity incidence graph — the skew-bearing edge set.
+ORACLES["kg_degree_histogram"] = kg_sql(
+    """
+, bedH AS (SELECT DISTINCT doc_id AS u, item_id AS v FROM tmentions)
+SELECT 'out' AS side, CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT u, count(*) AS degree FROM bedH GROUP BY u) GROUP BY 2
+UNION ALL
+SELECT 'in' AS side, CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT v, count(*) AS degree FROM bedH GROUP BY v) GROUP BY 2
+"""
+)
+
+
+# ER blocking-quality report (operators/linking.py
+# er_blocking_metrics): candidate pairs under the entity_match block
+# with the score threshold off, vs all n·(n−1)/2 comparisons.
+ORACLES["kg_er_metrics"] = kg_sql(
+    """
+, candE AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs
+  FROM cdict a JOIN cdict b
+    ON lower(substr(a.title, 1, 1)) = lower(substr(b.title, 1, 1))
+   AND a.title < b.title
+   AND abs(length(a.title) - length(b.title)) <= 3
+),
+nT AS (SELECT CAST(count(*) AS BIGINT) AS n_titles FROM cdict)
+SELECT n_titles, n_candidate_pairs,
+       CAST((n_titles * (n_titles - 1)) // 2 AS BIGINT) AS n_all_pairs,
+       CAST((1000 * ((n_titles * (n_titles - 1)) // 2
+                     - n_candidate_pairs))
+            // ((n_titles * (n_titles - 1)) // 2) AS BIGINT)
+         AS reduction_permille
+FROM nT CROSS JOIN candE
+"""
+)
