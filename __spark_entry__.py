@@ -1017,6 +1017,7 @@ _GATE_FIRST = (
     "td_vocab_coverage",
     "kg_degree_histogram",
     "kg_er_metrics",
+    "ev_hll_rollup",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1510,6 +1511,16 @@ def _kg_er_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return er_blocking_metrics(build_graph(spark, sf_dir)["canonical_dictionary"])
 
 
+def _ev_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-user rollup: hourly HLL registers folded
+    once from raw events, day grain by register max-merge — shuffles
+    bounded by sketch size, never re-scanning the day."""
+    from wikidata_qrank_spark.operators.sketches import hll_window_rollup
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    return hll_window_rollup(load_table(spark, sf_dir, "events"))
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1814,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_vocab_coverage"] = _td_vocab_coverage
     out["kg_degree_histogram"] = _kg_degree_histogram
     out["kg_er_metrics"] = _kg_er_metrics
+    out["ev_hll_rollup"] = _ev_hll_rollup
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

@@ -217,3 +217,37 @@ def test_countmin_validates_params(spark):
         count_min(df, "k", depth=0)
     with pytest.raises(ValueError):
         count_min(df, "k", width=1)
+
+
+def test_hll_window_rollup_merge_equals_direct(spark):
+    """Mergeability, the property the rollup sells: the day-grain
+    estimate (register max-merge of the hourly sketches) equals the
+    estimate of a sketch built directly from the day's raw events —
+    identical registers, identical value. Hourly estimates track exact
+    distincts within the m=4096 band."""
+    from datetime import datetime
+
+    from wikidata_qrank_spark.operators.sketches import (
+        hll_distinct,
+        hll_window_rollup,
+    )
+
+    rows = [
+        (i, datetime(2024, 1, 1, i % 5, i % 60), i % 37, "click")
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = hll_window_rollup(ev)
+    day = [r for r in out.collect() if r.grain == "day"]
+    assert len(day) == 1
+    direct = (
+        hll_distinct(
+            ev.selectExpr("CAST(user_id AS STRING) AS __c"), "__c"
+        ).collect()[0]
+    )
+    assert day[0].hll_estimate == direct.hll_estimate
+    assert day[0].n_nonzero == direct.n_nonzero
+    exact = 37
+    assert abs(day[0].hll_estimate - exact) <= max(3.0, 0.1 * exact)

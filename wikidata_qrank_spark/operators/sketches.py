@@ -332,3 +332,69 @@ def count_min_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
     )
+
+
+def hll_window_rollup(
+    events: DataFrame,
+    value_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count rollup: per (event_type, hour) HLL
+    registers folded ONCE from the raw events, then rolled up to the
+    day level by pure register max-merge — rows (event_type, bucket_us,
+    grain 'hour'|'day', n_buckets, n_nonzero, hll_estimate). This is
+    the warehouse pattern exact distinct counts can't give you: a
+    day's distinct users come from merging the 24 hourly sketches
+    (registers are the stored aggregate), never from re-scanning the
+    day's raw events — and the same merge extends to weeks/months or
+    late-arriving partitions.
+
+    Scale shape: one (type, hour, bucket)-keyed partial aggregation
+    over the events scan (≤ types × hours × 2^bits rows leave the map
+    side), then a register max-merge keyed on (type, day, bucket) —
+    both shuffles bounded by sketch size, independent of event count.
+    The hourly register table is eagerly truncated: it feeds BOTH its
+    own estimate and the day merge (the diamond rule). Portable md5
+    registers — the oracle derives bit-identical sketches at both
+    grains."""
+    hourly_src = events.select(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("__h"),
+        F.col(value_col).cast("string").alias("__c"),
+    )
+    regs_h = hll_registers(
+        hourly_src, "__c", ["event_type", "__h"], bucket_bits
+    ).localCheckpoint(eager=True)
+    est_h = hll_estimate_from_registers(
+        regs_h, ["event_type", "__h"], bucket_bits
+    ).select(
+        "event_type",
+        F.unix_micros(F.col("__h")).alias("bucket_us"),
+        F.lit("hour").alias("grain"),
+        "n_buckets",
+        "n_nonzero",
+        "hll_estimate",
+    )
+    regs_d = (
+        regs_h.select(
+            "event_type",
+            F.date_trunc("day", F.col("__h")).alias("__d"),
+            "__bucket",
+            "__mx",
+        )
+        .groupBy("event_type", "__d", "__bucket")
+        .agg(F.max("__mx").alias("__mx"))
+    )
+    est_d = hll_estimate_from_registers(
+        regs_d, ["event_type", "__d"], bucket_bits
+    ).select(
+        "event_type",
+        F.unix_micros(F.col("__d")).alias("bucket_us"),
+        F.lit("day").alias("grain"),
+        "n_buckets",
+        "n_nonzero",
+        "hll_estimate",
+    )
+    return est_h.unionByName(est_d)

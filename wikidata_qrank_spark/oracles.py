@@ -3798,3 +3798,66 @@ SELECT n_titles, n_candidate_pairs,
 FROM nT CROSS JOIN candE
 """
 )
+
+
+# Mergeable HLL window rollup (operators/sketches.py
+# hll_window_rollup): hourly registers from raw events, day grain by
+# register max-merge — identical md5 register constants and estimator
+# text at both grains.
+ORACLES["ev_hll_rollup"] = """
+WITH mxH AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, hsh >> 48 AS bucket,
+         max(CASE WHEN (hsh & 281474976710655) = 0 THEN 49
+                  ELSE 49 - length(bin(hsh & 281474976710655)) END) AS mx
+  FROM (SELECT event_type, ts,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hsh
+        FROM events)
+  GROUP BY 1, 2, 3
+),
+mxD AS (
+  SELECT event_type, date_trunc('day', h) AS d, bucket, max(mx) AS mx
+  FROM mxH GROUP BY 1, 2, 3
+),
+aggH AS (
+  SELECT event_type, h,
+         sum(CAST(1 AS BIGINT) << (49 - mx)) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_nonzero
+  FROM mxH GROUP BY 1, 2
+),
+aggD AS (
+  SELECT event_type, d,
+         sum(CAST(1 AS BIGINT) << (49 - mx)) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_nonzero
+  FROM mxD GROUP BY 1, 2
+),
+estH AS (
+  SELECT event_type, h, n_nonzero,
+         (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 * 562949953421312.0
+           / CAST(s_present + (4096 - n_nonzero) * (CAST(1 AS BIGINT) << 49)
+                  AS DOUBLE) AS raw,
+         4096 - n_nonzero AS zeros
+  FROM aggH
+),
+estD AS (
+  SELECT event_type, d, n_nonzero,
+         (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 * 562949953421312.0
+           / CAST(s_present + (4096 - n_nonzero) * (CAST(1 AS BIGINT) << 49)
+                  AS DOUBLE) AS raw,
+         4096 - n_nonzero AS zeros
+  FROM aggD
+)
+SELECT event_type, CAST(epoch_us(h) AS BIGINT) AS bucket_us,
+       'hour' AS grain, CAST(4096 AS BIGINT) AS n_buckets, n_nonzero,
+       floor((CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                   THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END)
+             * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate
+FROM estH
+UNION ALL
+SELECT event_type, CAST(epoch_us(d) AS BIGINT) AS bucket_us,
+       'day' AS grain, CAST(4096 AS BIGINT) AS n_buckets, n_nonzero,
+       floor((CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                   THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END)
+             * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate
+FROM estD
+"""
