@@ -1018,6 +1018,8 @@ _GATE_FIRST = (
     "kg_degree_histogram",
     "kg_er_metrics",
     "ev_hll_rollup",
+    "kg_bgp_cycles",
+    "kg_ntriples",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1521,6 +1523,34 @@ def _ev_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_window_rollup(load_table(spark, sf_dir, "events"))
 
 
+def _kg_triples_spo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_graph(spark, sf_dir)["triples"].select("subj", "pred", "obj")
+
+
+def _kg_bgp_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BGP conjunction [?a links_to ?b, ?b links_to ?c,
+    ?c links_to ?a] — directed 3-cycle bindings; constants push to the
+    scan, joins key on the shared variable."""
+    from wikidata_qrank_spark.operators.bgp import bgp_match
+
+    return bgp_match(
+        _kg_triples_spo(spark, sf_dir),
+        [
+            ("?a", "links_to", "?b"),
+            ("?b", "links_to", "?c"),
+            ("?c", "links_to", "?a"),
+        ],
+    )
+
+
+def _kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C N-Triples serialization of the triple relation — map-only
+    projection; the RDF interchange export."""
+    from wikidata_qrank_spark.operators.bgp import to_ntriples
+
+    return to_ntriples(_kg_triples_spo(spark, sf_dir))
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1826,6 +1856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_degree_histogram"] = _kg_degree_histogram
     out["kg_er_metrics"] = _kg_er_metrics
     out["ev_hll_rollup"] = _ev_hll_rollup
+    out["kg_bgp_cycles"] = _kg_bgp_cycles
+    out["kg_ntriples"] = _kg_ntriples
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

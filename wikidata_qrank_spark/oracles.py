@@ -3861,3 +3861,34 @@ SELECT event_type, CAST(epoch_us(d) AS BIGINT) AS bucket_us,
              * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate
 FROM estD
 """
+
+
+# SPARQL BGP 3-cycle pattern (operators/bgp.py bgp_match with
+# [?a links_to ?b, ?b links_to ?c, ?c links_to ?a]): plain 3-way
+# self-join over the Q-prefixed triple relation, distinct bindings.
+ORACLES["kg_bgp_cycles"] = kg_sql(
+    _EDGES_CTE
+    + """
+, qeB AS (
+  SELECT 'Q' || CAST(u AS VARCHAR) AS s, 'Q' || CAST(v AS VARCHAR) AS o
+  FROM edges
+)
+SELECT DISTINCT e1.s AS a, e1.o AS b, e2.o AS c
+FROM qeB e1
+JOIN qeB e2 ON e2.s = e1.o
+JOIN qeB e3 ON e3.s = e2.o AND e3.o = e1.s
+"""
+)
+
+
+# N-Triples serialization (operators/bgp.py to_ntriples): one W3C
+# statement line per triple, base IRI http://example.org/.
+ORACLES["kg_ntriples"] = kg_sql(
+    _EDGES_CTE
+    + """
+SELECT '<http://example.org/Q' || CAST(u AS VARCHAR)
+       || '> <http://example.org/links_to> <http://example.org/Q'
+       || CAST(v AS VARCHAR) || '> .' AS line
+FROM edges
+"""
+)
