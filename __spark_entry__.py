@@ -1020,6 +1020,7 @@ _GATE_FIRST = (
     "ev_hll_rollup",
     "kg_bgp_cycles",
     "kg_ntriples",
+    "kg_bgp_optional",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1551,6 +1552,18 @@ def _kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_ntriples(_kg_triples_spo(spark, sf_dir))
 
 
+def _kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL: [?a links_to ?b] with OPTIONAL [?b links_to
+    ?c] — left join on the shared binding, NULL where absent."""
+    from wikidata_qrank_spark.operators.bgp import bgp_match
+
+    return bgp_match(
+        _kg_triples_spo(spark, sf_dir),
+        [("?a", "links_to", "?b")],
+        optional=[("?b", "links_to", "?c")],
+    )
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1858,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ev_hll_rollup"] = _ev_hll_rollup
     out["kg_bgp_cycles"] = _kg_bgp_cycles
     out["kg_ntriples"] = _kg_ntriples
+    out["kg_bgp_optional"] = _kg_bgp_optional
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

@@ -63,3 +63,30 @@ def test_ntriples_lines(spark):
         "<http://example.org/Q1> <http://example.org/links_to> "
         "<http://example.org/Q2> ."
     )
+
+
+def test_bgp_optional_left_join_semantics(spark):
+    """OPTIONAL keeps every required binding and leaves the optional
+    variable NULL where the pattern has no match — and never
+    multiplies required rows that do match once."""
+    from wikidata_qrank_spark.operators.bgp import bgp_match
+
+    t = _triples(spark, [
+        ("Qa", "knows", "Qb"), ("Qb", "knows", "Qc"),
+        ("Qd", "knows", "Qe"),
+    ])
+    got = {(r.x, r.y, r.z) for r in bgp_match(
+        t, [("?x", "knows", "?y")],
+        optional=[("?y", "knows", "?z")]).collect()}
+    assert got == {("Qa", "Qb", "Qc"), ("Qb", "Qc", None),
+                   ("Qd", "Qe", None)}
+
+
+def test_bgp_optional_requires_shared_var(spark):
+    import pytest as _pytest
+
+    from wikidata_qrank_spark.operators.bgp import bgp_match
+
+    t = _triples(spark, [("Qa", "p", "Qb")])
+    with _pytest.raises(ValueError, match="optional"):
+        bgp_match(t, [("?x", "p", "?y")], optional=[("?z", "p", "?w")])

@@ -30,47 +30,69 @@ from pyspark.sql import functions as F
 _COLS = ("subj", "pred", "obj")
 
 
+def _compile_pattern(
+    triples_df: DataFrame, pat: tuple[str, str, str]
+) -> tuple[DataFrame, list[str]]:
+    """One pattern → (filtered projection under variable names,
+    variables in position order). Constants become pushed filters;
+    a repeated variable becomes an equality filter."""
+    if len(pat) != 3:
+        raise ValueError(f"pattern must have 3 terms, got {pat!r}")
+    rel = triples_df.select(*_COLS)
+    proj: dict[str, str] = {}
+    for col, term in zip(_COLS, pat):
+        if term.startswith("?"):
+            var = term[1:]
+            if not var:
+                raise ValueError(f"empty variable name in {pat!r}")
+            if var in proj:
+                # repeated variable inside one pattern -> equality
+                rel = rel.filter(F.col(col) == F.col(proj[var]))
+            else:
+                proj[var] = col
+        else:
+            rel = rel.filter(F.col(col) == F.lit(term))
+    return rel.select(*[F.col(c).alias(v) for v, c in proj.items()]), list(proj)
+
+
 def bgp_match(
     triples_df: DataFrame,
     patterns: Sequence[tuple[str, str, str]],
+    optional: Sequence[tuple[str, str, str]] = (),
     distinct: bool = True,
 ) -> DataFrame:
     """Bindings DataFrame with one column per variable, in first-use
-    order, for the conjunction of ``patterns`` over
-    (subj, pred, obj)."""
+    order, for the conjunction of ``patterns`` over (subj, pred, obj),
+    then each ``optional`` pattern LEFT-joined in order (SPARQL
+    OPTIONAL: its new variables stay NULL where the pattern has no
+    match, required bindings are never dropped)."""
     if not patterns:
         raise ValueError("patterns must be non-empty")
     acc: DataFrame | None = None
     bound: list[str] = []
     for pat in patterns:
-        if len(pat) != 3:
-            raise ValueError(f"pattern must have 3 terms, got {pat!r}")
-        rel = triples_df.select(*_COLS)
-        proj: dict[str, str] = {}
-        for col, term in zip(_COLS, pat):
-            if term.startswith("?"):
-                var = term[1:]
-                if not var:
-                    raise ValueError(f"empty variable name in {pat!r}")
-                if var in proj:
-                    # repeated variable inside one pattern -> equality
-                    rel = rel.filter(F.col(col) == F.col(proj[var]))
-                else:
-                    proj[var] = col
-            else:
-                rel = rel.filter(F.col(col) == F.lit(term))
-        rel = rel.select(*[F.col(c).alias(v) for v, c in proj.items()])
+        rel, pvars = _compile_pattern(triples_df, pat)
         if acc is None:
-            acc, bound = rel, list(proj)
+            acc, bound = rel, pvars
             continue
-        shared = [v for v in proj if v in bound]
+        shared = [v for v in pvars if v in bound]
         if not shared:
             raise ValueError(
                 f"pattern {pat!r} shares no variable with earlier "
                 f"patterns {bound} — reorder to avoid a cartesian product"
             )
         acc = acc.join(rel, shared)
-        bound += [v for v in proj if v not in bound]
+        bound += [v for v in pvars if v not in bound]
+    for pat in optional:
+        rel, pvars = _compile_pattern(triples_df, pat)
+        shared = [v for v in pvars if v in bound]
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pat!r} shares no variable with the "
+                f"required bindings {bound}"
+            )
+        acc = acc.join(rel, shared, "left")
+        bound += [v for v in pvars if v not in bound]
     # SPARQL semantics: distinct variables MAY bind the same term (no
     # implicit disjointness) — callers add FILTER(?a != ?b) style
     # predicates themselves. Column order = first use across patterns.

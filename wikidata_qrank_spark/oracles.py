@@ -3892,3 +3892,18 @@ SELECT '<http://example.org/Q' || CAST(u AS VARCHAR)
 FROM edges
 """
 )
+
+
+# SPARQL OPTIONAL (bgp.py bgp_match optional=): required [?a p ?b]
+# LEFT JOIN optional [?b p ?c] — NULL c where b has no out-edge.
+ORACLES["kg_bgp_optional"] = kg_sql(
+    _EDGES_CTE
+    + """
+, qeO AS (
+  SELECT 'Q' || CAST(u AS VARCHAR) AS s, 'Q' || CAST(v AS VARCHAR) AS o
+  FROM edges
+)
+SELECT DISTINCT e1.s AS a, e1.o AS b, e2.o AS c
+FROM qeO e1 LEFT JOIN qeO e2 ON e2.s = e1.o
+"""
+)
