@@ -1021,6 +1021,7 @@ _GATE_FIRST = (
     "kg_bgp_cycles",
     "kg_ntriples",
     "kg_bgp_optional",
+    "kg_triple_provenance",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1564,6 +1565,14 @@ def _kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-triple provenance: distinct supporting docs + the 5
+    smallest doc ids — bounded per-edge state via the rank window."""
+    from wikidata_qrank_spark.operators.links import triple_provenance
+
+    return triple_provenance(build_graph(spark, sf_dir)["text_mentions"])
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1872,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_bgp_cycles"] = _kg_bgp_cycles
     out["kg_ntriples"] = _kg_ntriples
     out["kg_bgp_optional"] = _kg_bgp_optional
+    out["kg_triple_provenance"] = _kg_triple_provenance
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

@@ -102,3 +102,24 @@ def test_reference_links_golden(spark):
         (5296, 17596642),
         (662541, 72),
     ]
+
+
+def test_triple_provenance_counts_and_sample_cap(spark):
+    """Three docs support edge 1->2 (dup mention in doc 7 counts
+    once); sample keeps the k smallest doc ids."""
+    from wikidata_qrank_spark.operators.links import triple_provenance
+
+    mentions = spark.createDataFrame(
+        [
+            (7, 0, 1), (7, 1, 2), (7, 2, 1), (7, 3, 2),  # doc 7: 1->2 twice
+            (3, 0, 1), (3, 1, 2),
+            (9, 0, 1), (9, 1, 2),
+            (9, 2, 5),                                    # 2->5 once
+        ],
+        "doc_id long, offset long, item_id long",
+    )
+    got = {(r.src_id, r.dst_id): (r.n_docs, r.sample_docs)
+           for r in triple_provenance(mentions, sample_k=2).collect()}
+    assert got[(1, 2)] == (3, "3,7")   # capped at the 2 smallest of {3,7,9}
+    assert got[(2, 1)] == (1, "7")
+    assert got[(2, 5)] == (1, "9")

@@ -143,3 +143,54 @@ def write_triples(triples_df: DataFrame, path: str, num_partitions: int = 32) ->
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def triple_provenance(mentions_df: DataFrame, sample_k: int = 5) -> DataFrame:
+    """(src_id, dst_id, n_docs, sample_docs) — per-triple provenance:
+    how many distinct documents support each consecutive-mention edge,
+    plus the ``sample_k`` SMALLEST supporting doc ids as a
+    comma-joined string (deterministic evidence pointers — the audit
+    trail a KG reviewer follows from a triple back to text; the
+    reference materializes edges with no provenance at all).
+
+    Bounded state by construction: a naive collect_set(doc_id) per
+    edge holds EVERY supporting doc of a hot edge in one aggregation
+    buffer — unbounded on a popular entity pair. Here a per-edge
+    row_number window ranks supporting docs (edge-keyed shuffle),
+    only ranks ≤ sample_k enter the list aggregate, so per-edge state
+    is ≤ sample_k ids no matter how popular the edge; the count is a
+    plain long. Output is a string, not an array — gate-stable for
+    hash comparison."""
+    from pyspark.sql import Window
+
+    if sample_k < 1:
+        raise ValueError(f"sample_k must be >= 1, got {sample_k}")
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    occ = (
+        mentions_df.withColumn("__next", F.lead("item_id").over(w))
+        .filter(
+            F.col("__next").isNotNull() & (F.col("__next") != F.col("item_id"))
+        )
+        .select(
+            "doc_id",
+            F.col("item_id").alias("src_id"),
+            F.col("__next").alias("dst_id"),
+        )
+        .distinct()
+    )
+    we = Window.partitionBy("src_id", "dst_id").orderBy("doc_id")
+    ranked = occ.withColumn("__rn", F.row_number().over(we))
+    return ranked.groupBy("src_id", "dst_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__rn") <= sample_k, F.col("doc_id"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("sample_docs"),
+    )

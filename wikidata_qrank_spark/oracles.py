@@ -3907,3 +3907,32 @@ SELECT DISTINCT e1.s AS a, e1.o AS b, e2.o AS c
 FROM qeO e1 LEFT JOIN qeO e2 ON e2.s = e1.o
 """
 )
+
+
+# Per-triple provenance (operators/links.py triple_provenance,
+# sample_k=5): distinct supporting docs per edge + the 5 smallest doc
+# ids comma-joined.
+ORACLES["kg_triple_provenance"] = kg_sql(
+    """
+, occP AS (
+  SELECT DISTINCT doc_id, item_id AS src_id, next_id AS dst_id
+  FROM (
+    SELECT doc_id, item_id,
+           lead(item_id) OVER (PARTITION BY doc_id ORDER BY "offset")
+             AS next_id
+    FROM tmentions
+  )
+  WHERE next_id IS NOT NULL AND next_id <> item_id
+),
+rankedP AS (
+  SELECT doc_id, src_id, dst_id,
+         row_number() OVER (PARTITION BY src_id, dst_id
+                            ORDER BY doc_id) AS rn
+  FROM occP
+)
+SELECT src_id, dst_id, CAST(count(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         FILTER (WHERE rn <= 5) AS sample_docs
+FROM rankedP GROUP BY 1, 2
+"""
+)
