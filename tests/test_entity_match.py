@@ -74,3 +74,14 @@ def test_er_blocking_metrics_golden(spark):
     row = er_blocking_metrics(d).collect()[0]
     assert (row.n_titles, row.n_candidate_pairs, row.n_all_pairs,
             row.reduction_permille) == (5, 4, 10, 600)
+
+
+def test_er_blocking_metrics_degenerate_single_title(spark):
+    """n < 2 titles -> zero possible pairs; reduction is NULL, not a
+    division-by-zero."""
+    from wikidata_qrank_spark.operators.linking import er_blocking_metrics
+
+    d = spark.createDataFrame([("solo", 1)], "title string, item_id long")
+    row = er_blocking_metrics(d).collect()[0]
+    assert (row.n_titles, row.n_candidate_pairs, row.n_all_pairs) == (1, 0, 0)
+    assert row.reduction_permille is None

@@ -191,9 +191,11 @@ def er_blocking_metrics(
             .cast("long")
             .alias("n_all_pairs"),
             F.expr(
-                "CAST((1000 * (n_titles * (n_titles - 1) div 2"
+                "CASE WHEN n_titles >= 2 THEN"
+                " CAST((1000 * (n_titles * (n_titles - 1) div 2"
                 " - n_candidate_pairs))"
                 " div (n_titles * (n_titles - 1) div 2) AS BIGINT)"
+                " END"
             ).alias("reduction_permille"),
         )
     )

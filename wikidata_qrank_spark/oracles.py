@@ -3791,10 +3791,11 @@ ORACLES["kg_er_metrics"] = kg_sql(
 nT AS (SELECT CAST(count(*) AS BIGINT) AS n_titles FROM cdict)
 SELECT n_titles, n_candidate_pairs,
        CAST((n_titles * (n_titles - 1)) // 2 AS BIGINT) AS n_all_pairs,
-       CAST((1000 * ((n_titles * (n_titles - 1)) // 2
-                     - n_candidate_pairs))
-            // ((n_titles * (n_titles - 1)) // 2) AS BIGINT)
-         AS reduction_permille
+       CASE WHEN n_titles >= 2 THEN
+         CAST((1000 * ((n_titles * (n_titles - 1)) // 2
+                       - n_candidate_pairs))
+              // ((n_titles * (n_titles - 1)) // 2) AS BIGINT)
+       END AS reduction_permille
 FROM nT CROSS JOIN candE
 """
 )
