@@ -83,6 +83,7 @@ def bgp_match(
             )
         acc = acc.join(rel, shared)
         bound += [v for v in pvars if v not in bound]
+    required = list(bound)
     for pat in optional:
         rel, pvars = _compile_pattern(triples_df, pat)
         shared = [v for v in pvars if v in bound]
@@ -90,6 +91,20 @@ def bgp_match(
             raise ValueError(
                 f"optional pattern {pat!r} shares no variable with the "
                 f"required bindings {bound}"
+            )
+        # well-designed restriction (Pérez et al.): an OPTIONAL may
+        # only consume REQUIRED variables. A variable bound by an
+        # earlier OPTIONAL can be NULL, and a plain left join on a
+        # NULL key never matches — whereas SPARQL's LeftJoin treats
+        # unbound as compatible-with-anything. Rejecting the pattern
+        # is honest; silently computing the wrong algebra is not.
+        outside = [v for v in shared if v not in required]
+        if outside:
+            raise ValueError(
+                f"optional pattern {pat!r} consumes variable(s) "
+                f"{outside} bound only by an earlier OPTIONAL — "
+                "non-well-designed pattern chains are unsupported "
+                "(unbound-compatible merge semantics)"
             )
         acc = acc.join(rel, shared, "left")
         bound += [v for v in pvars if v not in bound]
@@ -105,10 +120,23 @@ def to_ntriples(triples_df: DataFrame, base_iri: str = "http://example.org/") ->
     one statement per row: '<iri> <iri> <iri> .' with terms resolved
     against ``base_iri``. The interchange format every RDF store
     loads; pure projection (map-only, no shuffle), so the sorted-sink
-    contract (operators/sinks.py) applies unchanged for publishing."""
+    contract (operators/sinks.py) applies unchanged for publishing.
+
+    Contract: terms must already be IRI-safe path segments (the
+    engine's Q-ids and predicate names are); no percent-encoding is
+    applied. Rows with a NULL term are dropped rather than emitted as
+    malformed statements (concat_ws would silently skip the NULL and
+    produce a 2-term line)."""
     iri = lambda c: F.concat(F.lit(f"<{base_iri}"), F.col(c), F.lit(">"))  # noqa: E731
-    return triples_df.select(
-        F.concat_ws(" ", iri("subj"), iri("pred"), iri("obj"), F.lit(".")).alias(
-            "line"
+    return (
+        triples_df.filter(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        )
+        .select(
+            F.concat_ws(
+                " ", iri("subj"), iri("pred"), iri("obj"), F.lit(".")
+            ).alias("line")
         )
     )

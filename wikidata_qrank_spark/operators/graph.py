@@ -1437,15 +1437,17 @@ def k_truss(
         .localCheckpoint(eager=True)
     )
     sup = _edge_support_on_und(und)
+    n_edges = und.count()
     for _ in range(rounds):
         kept = sup.filter(F.col("support") >= F.lit(k - 2))
-        n_before = und.count()
         und = kept.select(
             F.col("node_a").alias("a"), F.col("node_b").alias("b")
         ).localCheckpoint(eager=True)
         sup = _edge_support_on_und(und)
-        if und.count() == n_before:
+        n_after = und.count()
+        if n_after == n_edges:
             break
+        n_edges = n_after
     return sup.select("node_a", "node_b", "support")
 
 

@@ -148,10 +148,14 @@ def write_triples(triples_df: DataFrame, path: str, num_partitions: int = 32) ->
 def triple_provenance(mentions_df: DataFrame, sample_k: int = 5) -> DataFrame:
     """(src_id, dst_id, n_docs, sample_docs) — per-triple provenance:
     how many distinct documents support each consecutive-mention edge,
-    plus the ``sample_k`` SMALLEST supporting doc ids as a
-    comma-joined string (deterministic evidence pointers — the audit
-    trail a KG reviewer follows from a triple back to text; the
-    reference materializes edges with no provenance at all).
+    plus the first ``sample_k`` supporting doc ids BY THE ID COLUMN'S
+    NATURAL ORDERING as a comma-joined string (deterministic evidence
+    pointers — the audit trail a KG reviewer follows from a triple
+    back to text; the reference materializes edges with no provenance
+    at all). The mention pipeline carries doc_id as a string, so the
+    sample ranks lexicographically ('10' < '2') — consistent across
+    engines (the oracle casts identically); cast upstream if numeric
+    ordering is wanted.
 
     Bounded state by construction: a naive collect_set(doc_id) per
     edge holds EVERY supporting doc of a hot edge in one aggregation

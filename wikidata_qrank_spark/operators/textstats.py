@@ -697,15 +697,14 @@ def vocab_coverage(
     a tokenizer's vocab size). cum_permille = (cum_cnt·1000) div total
     — exact integer division, order-proof.
 
-    No single-partition sort: both the global rank and the running
-    total use the two-phase pattern of rank.global_row_number —
-    repartitionByRange on the order key, per-partition window
-    (row_number + running sum), then a ≤#partitions-row exclusive
-    prefix-sum dim (count AND weight) broadcast back. The corpus total
-    is a 1-row crossJoin broadcast. Shuffles: token-keyed count
-    partials + one range exchange; the window never sees more than a
-    partition."""
-    from pyspark.sql import Window
+    No single-partition sort: the global rank AND the running total
+    come from rank.global_row_number's two-phase range-diamond
+    machinery (weight_col/cum_col mode — one shared implementation of
+    the pattern; see rank.py's module docstring for the ReusedExchange
+    safety argument). The corpus total is a 1-row crossJoin broadcast.
+    Shuffles: token-keyed count partials + one range exchange; the
+    window never sees more than a partition."""
+    from .rank import global_row_number
 
     # counts feeds the range exchange AND the corpus total — eager
     # truncation scans the corpus once; the table is vocab-scale
@@ -716,43 +715,20 @@ def vocab_coverage(
         .filter(F.col("cnt") >= F.lit(min_count))
         .localCheckpoint(eager=True)
     )
-    order = [F.col("cnt").desc(), F.col("token").asc()]
-    parts = documents.sparkSession.sparkContext.defaultParallelism
-    ranged = counts.repartitionByRange(parts, *order).withColumn(
-        "__pid", F.spark_partition_id()
+    ranked = global_row_number(
+        counts,
+        [F.col("cnt").desc(), F.col("token").asc()],
+        rank_col="rank",
+        weight_col="cnt",
+        cum_col="cum_cnt",
     )
-    sizes = ranged.groupBy("__pid").agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum("cnt").cast("long").alias("__s"),
-    )
-    offsets = (
-        sizes.alias("a")
-        .join(
-            F.broadcast(sizes.alias("b")),
-            F.col("b.__pid") < F.col("a.__pid"),
-            "left",
-        )
-        .groupBy(F.col("a.__pid").alias("__pid"))
-        .agg(
-            F.coalesce(F.sum("b.__n"), F.lit(0)).cast("long").alias("__off_n"),
-            F.coalesce(F.sum("b.__s"), F.lit(0)).cast("long").alias("__off_s"),
-        )
-    )
-    w = Window.partitionBy("__pid").orderBy(*order)
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     total = counts.agg(F.sum("cnt").cast("long").alias("__total"))
-    return (
-        ranged.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__cum", F.sum("cnt").over(wsum))
-        .join(F.broadcast(offsets), "__pid")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "token",
-            "cnt",
-            (F.col("__rn") + F.col("__off_n")).cast("long").alias("rank"),
-            (F.col("__cum") + F.col("__off_s")).cast("long").alias("cum_cnt"),
-            F.expr("((__cum + __off_s) * 1000) div __total")
-            .cast("long")
-            .alias("cum_permille"),
-        )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "token",
+        "cnt",
+        "rank",
+        "cum_cnt",
+        F.expr("(cum_cnt * 1000) div __total")
+        .cast("long")
+        .alias("cum_permille"),
     )
