@@ -1022,6 +1022,7 @@ _GATE_FIRST = (
     "kg_ntriples",
     "kg_bgp_optional",
     "kg_triple_provenance",
+    "kg_windowed_cooc",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1573,6 +1574,14 @@ def _kg_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_provenance(build_graph(spark, sf_dir)["text_mentions"])
 
 
+def _kg_windowed_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-weighted co-occurrence relations within a 3-mention
+    window — offsets explode map-side, (doc, rank)-keyed equi-join."""
+    from wikidata_qrank_spark.operators.links import windowed_cooccurrence
+
+    return windowed_cooccurrence(build_graph(spark, sf_dir)["text_mentions"])
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1882,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_ntriples"] = _kg_ntriples
     out["kg_bgp_optional"] = _kg_bgp_optional
     out["kg_triple_provenance"] = _kg_triple_provenance
+    out["kg_windowed_cooc"] = _kg_windowed_cooc
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

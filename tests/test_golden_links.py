@@ -123,3 +123,25 @@ def test_triple_provenance_counts_and_sample_cap(spark):
     assert got[(1, 2)] == (3, "3,7")   # capped at the 2 smallest of {3,7,9}
     assert got[(2, 1)] == (1, "7")
     assert got[(2, 5)] == (1, "9")
+
+
+def test_windowed_cooccurrence_weights_and_window(spark):
+    """Doc with mention sequence a b c: window 2 gives directed pairs
+    (a,b,d=1), (b,c,d=1), (a,c,d=2); weights floor(1e6/d+0.5); window 1
+    reduces to adjacency."""
+    from wikidata_qrank_spark.operators.links import windowed_cooccurrence
+
+    mentions = spark.createDataFrame(
+        [(1, 0, 10), (1, 5, 20), (1, 9, 30)],
+        "doc_id long, offset long, item_id long",
+    )
+    got = {(r.src_id, r.dst_id): (r.n_cooc, r.weight_micro)
+           for r in windowed_cooccurrence(mentions, window=2).collect()}
+    assert got == {
+        (10, 20): (1, 1000000),
+        (20, 30): (1, 1000000),
+        (10, 30): (1, 500000),
+    }
+    w1 = {(r.src_id, r.dst_id)
+          for r in windowed_cooccurrence(mentions, window=1).collect()}
+    assert w1 == {(10, 20), (20, 30)}

@@ -3937,3 +3937,27 @@ SELECT src_id, dst_id, CAST(count(*) AS BIGINT) AS n_docs,
 FROM rankedP GROUP BY 1, 2
 """
 )
+
+
+# Distance-weighted windowed co-occurrence (operators/links.py
+# windowed_cooccurrence, window=3): per-doc mention ranks, forward
+# offsets 1..3, inverse-distance BIGINT micro weights.
+ORACLES["kg_windowed_cooc"] = kg_sql(
+    """
+, rankedW AS (
+  SELECT doc_id, item_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY "offset")
+              AS BIGINT) AS rn
+  FROM tmentions
+)
+SELECT l.item_id AS src_id, r.item_id AS dst_id,
+       CAST(count(*) AS BIGINT) AS n_cooc,
+       CAST(sum(CAST(floor(1000000.0 / CAST(o.d AS DOUBLE) + 0.5)
+                     AS BIGINT)) AS BIGINT) AS weight_micro
+FROM rankedW l
+CROSS JOIN (VALUES (1), (2), (3)) o(d)
+JOIN rankedW r ON r.doc_id = l.doc_id AND r.rn = l.rn + o.d
+WHERE l.item_id <> r.item_id
+GROUP BY 1, 2
+"""
+)
