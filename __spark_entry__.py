@@ -1023,6 +1023,7 @@ _GATE_FIRST = (
     "kg_bgp_optional",
     "kg_triple_provenance",
     "kg_windowed_cooc",
+    "td_lsh_quality",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1582,6 +1583,20 @@ def _kg_windowed_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_cooccurrence(build_graph(spark, sf_dir)["text_mentions"])
 
 
+def _td_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH candidate quality vs exact prefix-join truth over
+    the near-dup-injected corpus — integer-permille precision/recall
+    for the (bands, rows) sketch config."""
+    from wikidata_qrank_spark.operators.dedup import (
+        inject_near_dups,
+        lsh_quality_report,
+    )
+
+    return lsh_quality_report(
+        inject_near_dups(_documents(spark, sf_dir)), hash_family="md5"
+    )
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1892,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_bgp_optional"] = _kg_bgp_optional
     out["kg_triple_provenance"] = _kg_triple_provenance
     out["kg_windowed_cooc"] = _kg_windowed_cooc
+    out["td_lsh_quality"] = _td_lsh_quality
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

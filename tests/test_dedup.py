@@ -529,3 +529,29 @@ def test_chunk_dedup_tail_chunk_and_validation(spark):
     assert (row.n_chunks, row.n_dup_chunks) == (3, 0)
     with pytest.raises(ValueError):
         chunk_dedup(docs, chunk_tokens=0)
+
+
+def test_lsh_quality_report_precision_recall(spark):
+    """Exact dup pair + a weaker near-dup: at threshold 0.9 only the
+    exact pair is truth, but LSH (which has no threshold) also
+    surfaces the weaker pair -> precision < 1000, recall = 1000; at
+    threshold 0.3 both pairs are truth -> precision recovers."""
+    from wikidata_qrank_spark.operators.dedup import lsh_quality_report
+
+    body = " ".join(f"w{i}" for i in range(40))
+    weak = " ".join(f"w{i}" for i in range(36)) + " " + " ".join(
+        f"z{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, weak), (4, "totally different text here")],
+        "doc_id long, text string",
+    )
+    strict = lsh_quality_report(docs, threshold=0.9,
+                                hash_family="md5").collect()[0]
+    assert strict.n_true == 1 and strict.n_hit == 1
+    assert strict.recall_permille == 1000
+    assert strict.n_candidates >= 2
+    assert strict.precision_permille < 1000
+    loose = lsh_quality_report(docs, threshold=0.3,
+                               hash_family="md5").collect()[0]
+    assert loose.n_true >= 2
+    assert loose.precision_permille > strict.precision_permille

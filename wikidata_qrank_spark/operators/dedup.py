@@ -997,3 +997,55 @@ def chunk_dedup(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.sum("is_dup").cast("long").alias("n_dup_chunks"),
     )
+
+
+def lsh_quality_report(
+    documents: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """One row — (n_candidates, n_true, n_hit, precision_permille,
+    recall_permille): the measured quality of the banded-LSH candidate
+    generator against EXACT ground truth (every pair with n-gram
+    Jaccard ≥ threshold, from the lossless prefix-filtered join). The
+    "measure, don't guess" dial for the (bands, rows) sketch config:
+    recall says how many true near-dup pairs the bands surface,
+    precision says how much of the verify budget the false candidates
+    burn — tune bands/rows until both fit, instead of trusting the
+    theoretical S-curve.
+
+    Both sides run their documented scale plans (banded buckets, never
+    all-pairs; prefix-filtered truth, never the hot-shingle quadratic);
+    the intersection is one (doc_a, doc_b)-keyed join; the three
+    counts cross-join as 1-row broadcasts; the ratios are exact
+    integer permille (NULL when a denominator is empty)."""
+    cand = minhash_lsh_pairs(
+        documents, text_col, hash_family=hash_family
+    ).select("doc_a", "doc_b")
+    truth = jaccard_prefix_pairs(
+        documents, text_col, threshold=threshold
+    ).select("doc_a", "doc_b")
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nh = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_candidates > 0 THEN"
+                " CAST((n_hit * 1000) div n_candidates AS BIGINT) END"
+            ).alias("precision_permille"),
+            F.expr(
+                "CASE WHEN n_true > 0 THEN"
+                " CAST((n_hit * 1000) div n_true AS BIGINT) END"
+            ).alias("recall_permille"),
+        )
+    )

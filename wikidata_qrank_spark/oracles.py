@@ -3961,3 +3961,77 @@ WHERE l.item_id <> r.item_id
 GROUP BY 1, 2
 """
 )
+
+
+# LSH quality report (operators/dedup.py lsh_quality_report over the
+# near-dup-injected corpus): banded-LSH candidates vs exact
+# Jaccard >= 0.5 truth, integer-permille precision/recall. Reuses the
+# td_jaccard_prefix injected preamble and the td_minhash_pairs banded
+# fragments verbatim.
+ORACLES["td_lsh_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+toks AS (
+  SELECT doc_id, l FROM base
+  UNION ALL
+  SELECT doc_id + 10000000,
+         string_split(array_to_string(l[1:greatest(len(l) - 2, 1)], ' '), ' ')
+  FROM base WHERE doc_id % 50 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                 i -> array_to_string(l[i:i+2], ' '))) AS gram
+    FROM toks
+  ) WHERE length(gram) > 0
+),
+sig AS (
+  SELECT doc_id,
+         {_mh_mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_mh_banded}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE floor(CAST(i.n_inter AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000.0 + 0.5)
+          / 1000000.0 >= 0.5
+),
+nums AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM cand c JOIN truth t
+            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit
+)
+SELECT n_candidates, n_true, n_hit,
+       CASE WHEN n_candidates > 0
+            THEN CAST((n_hit * 1000) // n_candidates AS BIGINT)
+       END AS precision_permille,
+       CASE WHEN n_true > 0
+            THEN CAST((n_hit * 1000) // n_true AS BIGINT)
+       END AS recall_permille
+FROM nums
+"""
