@@ -1024,6 +1024,7 @@ _GATE_FIRST = (
     "kg_triple_provenance",
     "kg_windowed_cooc",
     "td_lsh_quality",
+    "kg_weighted_pagerank",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1597,6 +1598,16 @@ def _td_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer weighted PageRank over the distance-weighted
+    co-occurrence relation — BIGINT end to end, order-free folds."""
+    from wikidata_qrank_spark.operators.graph import weighted_pagerank
+    from wikidata_qrank_spark.operators.links import windowed_cooccurrence
+
+    w = windowed_cooccurrence(build_graph(spark, sf_dir)["text_mentions"])
+    return weighted_pagerank(w)
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1908,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_triple_provenance"] = _kg_triple_provenance
     out["kg_windowed_cooc"] = _kg_windowed_cooc
     out["td_lsh_quality"] = _td_lsh_quality
+    out["kg_weighted_pagerank"] = _kg_weighted_pagerank
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

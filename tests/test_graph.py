@@ -722,3 +722,27 @@ def test_degree_histogram_golden(spark):
     got = {(r.side, r.degree): r.n_nodes
            for r in degree_histogram(edges).collect()}
     assert got == {("out", 2): 1, ("out", 1): 1, ("in", 1): 3}
+
+
+def test_weighted_pagerank_weight_sensitivity(spark):
+    """Two sources point at {2, 3} with weights 9:1 — node 2 outranks
+    node 3; with equal weights they tie exactly (integer recurrence).
+    Determinism: two runs produce identical micro ranks."""
+    from wikidata_qrank_spark.operators.graph import weighted_pagerank
+
+    skew = spark.createDataFrame(
+        [(1, 2, 900), (1, 3, 100), (4, 2, 900), (4, 3, 100)],
+        "src_id long, dst_id long, weight_micro long",
+    )
+    got = {r.node: r.rank_micro for r in weighted_pagerank(skew).collect()}
+    assert got[2] > got[3] > 0
+    assert got[1] == got[4]
+    even = spark.createDataFrame(
+        [(1, 2, 500), (1, 3, 500), (4, 2, 500), (4, 3, 500)],
+        "src_id long, dst_id long, weight_micro long",
+    )
+    ev = {r.node: r.rank_micro for r in weighted_pagerank(even).collect()}
+    assert ev[2] == ev[3]
+    again = {r.node: r.rank_micro
+             for r in weighted_pagerank(skew).collect()}
+    assert again == got

@@ -1475,3 +1475,86 @@ def degree_histogram(
         .select(F.lit("in").alias("side"), F.col("degree").cast("long"), "n_nodes")
     )
     return out_h.unionByName(in_h)
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_permille: int = 850,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    weight_col: str = "weight_micro",
+) -> DataFrame:
+    """(node, rank_micro) — PageRank over WEIGHTED edges (contributions
+    proportional to edge weight within each source's outgoing mass) in
+    PURE BIGINT arithmetic: rank₀ = 1e6 div n micro; per iteration,
+    each edge u→v contributes (rank_u·w_uv) div W_u (W_u = Σ w_u·,
+    integer floor division), incoming sums as exact BIGINTs, and
+    rank' = base + (d‰·incoming) div 1000 with base =
+    ((1000−d‰)·1e6) div (1000·n). No float enters the recurrence —
+    unlike a float-sum PageRank, the fold is aggregation-order-free BY
+    CONSTRUCTION, so engines stay in lockstep for any iteration count
+    (the transe_step discipline applied to ranking). The deliberate
+    cost: each edge's floor drops < 1 micro, so total mass bleeds
+    ≤ |E| micro per iteration — irrelevant for ranking (relative
+    order), stated for exactness.
+
+    Scale shape identical to :func:`pagerank`: per iteration one
+    edge-keyed join against the node-sized rank table and one
+    dst-keyed partial-aggregated sum; rank table localCheckpoint-ed
+    per round. Natural input: the distance-weighted co-occurrence
+    relation (links.windowed_cooccurrence), giving a soft-relation
+    centrality the unweighted walk can't express."""
+    if not 0 < damping_permille < 1000:
+        raise ValueError(
+            f"damping_permille must be in (0, 1000), got {damping_permille}"
+        )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).filter(F.col("w") > 0)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node long, rank_micro long"
+        )
+    wsum = e.groupBy("u").agg(F.sum("w").cast("long").alias("w_u"))
+    graph = e.join(wsum, "u").localCheckpoint(eager=True)
+    dp = damping_permille
+    base = ((1000 - dp) * 1000000) // (1000 * n)
+    ranks = nodes.withColumn(
+        "rank_micro", F.lit(1000000 // n).cast("long")
+    )
+    for _ in range(iters):
+        contrib = (
+            graph.join(ranks.withColumnRenamed("node", "u"), "u")
+            .select(
+                "v",
+                F.expr("(rank_micro * w) div w_u").alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").cast("long").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("v", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({dp} * coalesce(incoming, CAST(0 AS BIGINT)))"
+                        " div 1000"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -4035,3 +4035,63 @@ SELECT n_candidates, n_true, n_hit,
        END AS recall_permille
 FROM nums
 """
+
+
+# Integer weighted PageRank (operators/graph.py weighted_pagerank,
+# iters=3, d=850 permille) over the distance-weighted co-occurrence
+# relation: the recurrence never leaves BIGINT space, so the unrolled
+# oracle is bit-identical by construction.
+def _weighted_pagerank_sql(iters: int, dp: int) -> str:
+    ctes = [
+        """,
+wedges AS (
+  SELECT l.item_id AS u, r.item_id AS v,
+         CAST(sum(CAST(floor(1000000.0 / CAST(o.d AS DOUBLE) + 0.5)
+                       AS BIGINT)) AS BIGINT) AS w
+  FROM (SELECT doc_id, item_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY "offset") AS BIGINT) AS rn
+        FROM tmentions) l
+  CROSS JOIN (VALUES (1), (2), (3)) o(d)
+  JOIN (SELECT doc_id, item_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY "offset") AS BIGINT) AS rn
+        FROM tmentions) r
+    ON r.doc_id = l.doc_id AND r.rn = l.rn + o.d
+  WHERE l.item_id <> r.item_id
+  GROUP BY 1, 2
+),
+wnodes AS (SELECT u AS node FROM wedges UNION SELECT v FROM wedges),
+nnW AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wnodes),
+wdeg AS (SELECT u, CAST(sum(w) AS BIGINT) AS w_u FROM wedges GROUP BY u),
+wr0 AS (
+  SELECT node, CAST(1000000 // nnW.n AS BIGINT) AS rank_micro
+  FROM wnodes CROSS JOIN nnW
+)"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f""",
+wc{t} AS (
+  SELECT e.v AS node,
+         CAST(sum((r.rank_micro * e.w) // d.w_u) AS BIGINT) AS incoming
+  FROM wedges e
+  JOIN wr{t - 1} r ON e.u = r.node
+  JOIN wdeg d ON e.u = d.u
+  GROUP BY e.v
+),
+wr{t} AS (
+  SELECT no.node,
+         CAST((((1000 - {dp}) * 1000000) // (1000 * nnW.n))
+              + ({dp} * COALESCE(c.incoming, 0)) // 1000
+              AS BIGINT) AS rank_micro
+  FROM wnodes no CROSS JOIN nnW
+  LEFT JOIN wc{t} c ON no.node = c.node
+)"""
+        )
+    return kg_sql(
+        "".join(ctes) + f"\nSELECT node, rank_micro FROM wr{iters}\n"
+    )
+
+
+ORACLES["kg_weighted_pagerank"] = _weighted_pagerank_sql(3, 850)
