@@ -1025,6 +1025,7 @@ _GATE_FIRST = (
     "kg_windowed_cooc",
     "td_lsh_quality",
     "kg_weighted_pagerank",
+    "td_word_dropout",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1608,6 +1609,14 @@ def _kg_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_pagerank(w)
 
 
+def _td_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word-dropout augmentation — hash-Bernoulli per
+    (doc, pos, token), map-only, partitioning-independent."""
+    from wikidata_qrank_spark.operators.textstats import word_dropout
+
+    return word_dropout(_documents(spark, sf_dir))
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1920,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_windowed_cooc"] = _kg_windowed_cooc
     out["td_lsh_quality"] = _td_lsh_quality
     out["kg_weighted_pagerank"] = _kg_weighted_pagerank
+    out["td_word_dropout"] = _td_word_dropout
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

@@ -387,3 +387,34 @@ def test_vocab_coverage_two_phase_matches_single_window(spark):
         ).collect()
     )
     assert got == ref
+
+
+def test_word_dropout_deterministic_and_hash_replay(spark):
+    """Augmentation is a pure function of content: identical across
+    runs AND replayable with hashlib; rate=0 is identity, rate=1000
+    drops everything."""
+    import hashlib
+
+    from wikidata_qrank_spark.operators.textstats import word_dropout
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two")],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: tuple(r) for r in word_dropout(docs, rate_permille=400).collect()}
+    b = {r.doc_id: tuple(r) for r in word_dropout(docs, rate_permille=400).collect()}
+    assert a == b
+    for doc_id, text in [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two")]:
+        toks = text.split(" ")
+        kept = [
+            t for i, t in enumerate(toks)
+            if int(hashlib.md5(f"{doc_id}|{i}|{t}".encode()).hexdigest()[:15], 16)
+            % 1000 >= 400
+        ]
+        assert a[doc_id][1] == " ".join(kept)
+        assert a[doc_id][3] == len(toks) - len(kept)
+    ident = {r.doc_id: r.text_aug
+             for r in word_dropout(docs, rate_permille=0).collect()}
+    assert ident[1] == "alpha beta gamma delta epsilon zeta"
+    full = word_dropout(docs, rate_permille=1000).collect()
+    assert all(r.text_aug == "" and r.n_dropped == r.n_tokens for r in full)

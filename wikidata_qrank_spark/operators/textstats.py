@@ -732,3 +732,59 @@ def vocab_coverage(
         .cast("long")
         .alias("cum_permille"),
     )
+
+
+def word_dropout(
+    documents: DataFrame,
+    text_col: str = "text",
+    rate_permille: int = 150,
+) -> DataFrame:
+    """(doc_id, text_aug, n_tokens, n_dropped) — deterministic word
+    dropout, the standard denoising/robustness augmentation: token at
+    position p of doc d drops iff hash60(d|p|token) mod 1000 <
+    rate_permille. Hash-Bernoulli instead of RNG (the sampling.py
+    verdict rule): the SAME corpus always yields the SAME augmentation
+    regardless of partitioning or retries — reproducible training
+    data, and the oracle replays it bit-for-bit.
+
+    Map-only: one higher-order filter over the split array per row —
+    no shuffle, no UDF; the n_dropped accounting falls out of the two
+    array sizes."""
+    if not 0 <= rate_permille <= 1000:
+        raise ValueError(
+            f"rate_permille must be in [0, 1000], got {rate_permille}"
+        )
+    toks = F.split(F.col(text_col), " ")
+    idx = F.transform(
+        toks,
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.filter(
+        idx,
+        lambda s: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("doc_id").cast("string"),
+                            s["i"].cast("string"),
+                            s["t"],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+            >= F.lit(rate_permille)
+        ),
+    )
+    return documents.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_aug"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_dropped"),
+    )

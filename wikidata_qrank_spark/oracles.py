@@ -4095,3 +4095,30 @@ wr{t} AS (
 
 
 ORACLES["kg_weighted_pagerank"] = _weighted_pagerank_sql(3, 850)
+
+
+# Deterministic word dropout (operators/textstats.py word_dropout,
+# rate=150 permille): hash-Bernoulli per (doc, pos, token) — identical
+# md5 verdict both engines.
+ORACLES["td_word_dropout"] = """
+WITH tokD AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+keptD AS (
+  SELECT doc_id, len(l) AS n_tokens,
+         list_filter(
+           list_transform(generate_series(1, len(l)),
+                          i -> {'t': l[i], 'i': i - 1}),
+           s -> CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                        || CAST(s.i AS VARCHAR) || '|'
+                                        || s.t), 1, 15) AS BIGINT)
+                % 1000 >= 150
+         ) AS kept
+  FROM tokD
+)
+SELECT doc_id,
+       array_to_string(list_transform(kept, s -> s.t), ' ') AS text_aug,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_dropped
+FROM keptD
+"""
