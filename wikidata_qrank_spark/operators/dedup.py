@@ -1020,12 +1020,19 @@ def lsh_quality_report(
     the intersection is one (doc_a, doc_b)-keyed join; the three
     counts cross-join as 1-row broadcasts; the ratios are exact
     integer permille (NULL when a denominator is empty)."""
-    cand = minhash_lsh_pairs(
-        documents, text_col, hash_family=hash_family
-    ).select("doc_a", "doc_b")
-    truth = jaccard_prefix_pairs(
-        documents, text_col, threshold=threshold
-    ).select("doc_a", "doc_b")
+    # each pair set feeds its own count AND the intersection — eager
+    # truncation runs each (expensive) candidate pipeline exactly once;
+    # the materialized tables are just (doc_a, doc_b) pairs
+    cand = (
+        minhash_lsh_pairs(documents, text_col, hash_family=hash_family)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        jaccard_prefix_pairs(documents, text_col, threshold=threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     nh = (

@@ -1511,10 +1511,17 @@ def weighted_pagerank(
         )
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    e = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v"),
-        F.col(weight_col).cast("long").alias("w"),
-    ).filter(F.col("w") > 0)
+    # e feeds the node derivation (twice), the weight-mass dim, and
+    # the graph join — eager truncation runs the upstream (e.g. the
+    # co-occurrence extraction) exactly once
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))

@@ -223,9 +223,11 @@ def windowed_cooccurrence(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     w = Window.partitionBy("doc_id").orderBy("offset")
+    # ranked feeds BOTH join sides — eager truncation runs the mention
+    # pipeline + rank window once (compact id/rank projection, no text)
     ranked = mentions_df.select(
         "doc_id", "item_id", F.row_number().over(w).cast("long").alias("rn")
-    )
+    ).localCheckpoint(eager=True)
     spark = mentions_df.sparkSession
     offs = spark.createDataFrame([(d,) for d in range(1, window + 1)], "d long")
     left = ranked.crossJoin(F.broadcast(offs)).select(
