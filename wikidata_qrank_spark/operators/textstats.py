@@ -788,3 +788,52 @@ def word_dropout(
         F.size(toks).cast("long").alias("n_tokens"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_dropped"),
     )
+
+
+def sequence_packing(
+    documents: DataFrame,
+    text_col: str = "text",
+    budget: int = 256,
+) -> DataFrame:
+    """(doc_id, n_tokens, bin_id, bin_docs, bin_fill) — deterministic
+    contiguous sequence packing: documents ordered by (token count
+    desc, doc_id asc) are laid end-to-end and cut into bins of
+    ``budget`` tokens — bin_id = (running total BEFORE the doc) div
+    budget. The packing step every LLM training pipeline runs to turn
+    ragged documents into fixed context windows; contiguous cutting is
+    the standard streaming approximation of bin packing (a document
+    whose tokens straddle a boundary overflows its bin by < its own
+    length — stated, not hidden; first-fit-decreasing needs sequential
+    state no engine parallelizes exactly).
+
+    The running total is rank.global_row_number's weighted prefix-sum
+    mode — the two-phase range-diamond machinery, NO single-partition
+    sort — and bin statistics re-attach with one bin-keyed
+    aggregation. Deterministic: same corpus → same bins, any
+    partitioning."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from .rank import global_row_number
+
+    counts = documents.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    ranked = global_row_number(
+        counts,
+        [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        rank_col="__rank",
+        weight_col="n_tokens",
+        cum_col="__cum",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(__cum - n_tokens) div {budget}").cast("long").alias("bin_id"),
+    )
+    bins = ranked.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("bin_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_fill"),
+    )
+    return ranked.join(bins, "bin_id").select(
+        "doc_id", "n_tokens", "bin_id", "bin_docs", "bin_fill"
+    )

@@ -4122,3 +4122,29 @@ SELECT doc_id,
        CAST(n_tokens - len(kept) AS BIGINT) AS n_dropped
 FROM keptD
 """
+
+
+# Deterministic sequence packing (operators/textstats.py
+# sequence_packing, budget=256): single-window replay of the two-phase
+# prefix sum; bin = pre-doc running total // budget.
+ORACLES["td_seq_packing"] = """
+WITH cntS AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         CAST((sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // 256 AS BIGINT) AS bin_id
+  FROM cntS
+),
+binsS AS (
+  SELECT bin_id, CAST(count(*) AS BIGINT) AS bin_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS bin_fill
+  FROM placed GROUP BY 1
+)
+SELECT p.doc_id, p.n_tokens, p.bin_id, b.bin_docs, b.bin_fill
+FROM placed p JOIN binsS b ON p.bin_id = b.bin_id
+"""
