@@ -995,6 +995,14 @@ def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Keys listed here are emitted first, in this order; anything not
 # listed follows in registration order.
 _GATE_FIRST = (
+    # VERDICT r4 item 1: these five keys have never received a
+    # driver CORRECTNESS row (registered past the r4 window;
+    # judge-verified out-of-band) — they outrank even newer keys
+    "an_q6_forecast",
+    "an_q14_promo",
+    "kg_reciprocity",
+    "ev_histogram",
+    "td_best_of_cluster",
     # new in round 5 (never verified by any driver round)
     "kg_fact_fusion",
     "kg_negative_samples",
@@ -1055,13 +1063,6 @@ _GATE_FIRST = (
     "an_q11_important_parts",
     "an_q16_supplier_counts",
     "an_q2_best_supplier",
-    # registered past round 4's full 50-row window — never
-    # driver-verified (judge re-checked them OK in the r4 session)
-    "an_q6_forecast",
-    "an_q14_promo",
-    "kg_reciprocity",
-    "ev_histogram",
-    "td_best_of_cluster",
     # last driver-verified in round 3 (displaced by the r4 window),
     # registration order
     "kg_media_mentions",
