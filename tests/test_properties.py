@@ -130,3 +130,113 @@ def test_sql_dump_roundtrip(rows, per_stmt):
     assert cols == ["a", "b", "c"]
     want = [[v for _, v in row] for row in rows]
     assert parsed == want
+
+
+# ---- round-5 integer-exact kernels: pure-math properties ----
+
+import hashlib
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@given(edge_lists)
+@settings(max_examples=60)
+def test_transe_step_loss_never_increases(pairs):
+    """The TransE update rule (hash-lattice init, integer micro
+    gradients, floor-division lr=1/100) never increases the squared
+    translation loss on bounded-degree graphs — the stability property
+    the operator's bit-exact pytest assumes. Pure replica of the
+    documented recurrence (graph.py transe_step)."""
+    dim, denom = 4, 100
+    nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+    emb = {(v, d): (_h60(f"{v}|{d}") % 2001 - 1000) * 1000
+           for v in nodes for d in range(dim)}
+    rel = {d: (_h60(f"r|{d}") % 2001 - 1000) * 1000 for d in range(dim)}
+
+    def loss(e):
+        return sum((e[(h, d)] + rel[d] - e[(t, d)]) ** 2
+                   for h, t in pairs for d in range(dim))
+
+    grad = {k: 0 for k in emb}
+    for h, t in pairs:
+        for d in range(dim):
+            diff = emb[(h, d)] + rel[d] - emb[(t, d)]
+            grad[(h, d)] += 2 * diff
+            grad[(t, d)] -= 2 * diff
+    emb1 = {k: emb[k] - grad[k] // denom for k in emb}
+    assert loss(emb1) <= loss(emb)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+             max_size=80),
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+             max_size=80),
+)
+@settings(max_examples=60)
+def test_hll_register_merge_law(xs, ys):
+    """Mergeability, the law every HLL composition in the repo leans
+    on (two_hop_approx, neighborhood_function, hll_window_rollup):
+    registers(A ∪ B) == elementwise max(registers(A), registers(B)).
+    Pure replica of the portable md5 register rule (sketches.py:
+    bucket = top 12 of 60 bits, rho = 49 − bitlength of remainder)."""
+    bits, rem_bits = 12, 48
+    mask = (1 << rem_bits) - 1
+
+    def regs(vals):
+        out: dict[int, int] = {}
+        for v in vals:
+            h = _h60(str(v))
+            b, r = h >> rem_bits, h & mask
+            rho = rem_bits + 1 if r == 0 else rem_bits + 1 - r.bit_length()
+            out[b] = max(out.get(b, 0), rho)
+        return out
+
+    ra, rb, ru = regs(xs), regs(ys), regs(xs + ys)
+    merged = dict(ra)
+    for b, m in rb.items():
+        merged[b] = max(merged.get(b, 0), m)
+    assert merged == ru
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=8), min_size=1,
+             max_size=60),
+    st.integers(min_value=8, max_value=64),
+)
+@settings(max_examples=80)
+def test_sequence_packing_rule_invariants(lengths, budget):
+    """Contiguous packing invariants for PRE-CHUNKED inputs (every doc
+    ≤ budget — the operator's documented precondition for contiguous
+    bin ids; an over-budget doc occupies several budget slots and the
+    ids skip): bin ids contiguous from 0, total fill preserved, and
+    every non-final bin holds ≥ budget − (max_len − 1) tokens."""
+    docs = sorted(
+        ((ln, i) for i, ln in enumerate(lengths)),
+        key=lambda p: (-p[0], p[1]),
+    )
+    cum = 0
+    bins: dict[int, int] = {}
+    for ln, _ in docs:
+        b = cum // budget
+        bins[b] = bins.get(b, 0) + ln
+        cum += ln
+    assert sorted(bins) == list(range(len(bins)))
+    assert sum(bins.values()) == sum(lengths)
+    max_len = max(lengths)
+    for b, fill in bins.items():
+        if b != max(bins):
+            assert fill >= budget - (max_len - 1)

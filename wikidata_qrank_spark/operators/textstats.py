@@ -804,7 +804,10 @@ def sequence_packing(
     the standard streaming approximation of bin packing (a document
     whose tokens straddle a boundary overflows its bin by < its own
     length — stated, not hidden; first-fit-decreasing needs sequential
-    state no engine parallelizes exactly).
+    state no engine parallelizes exactly). Precondition for contiguous
+    bin ids: documents are pre-chunked to ≤ budget tokens — a longer
+    doc occupies several budget slots and the following ids skip
+    (harmless for grouping, stated for exactness).
 
     The running total is rank.global_row_number's weighted prefix-sum
     mode — the two-phase range-diamond machinery, NO single-partition
