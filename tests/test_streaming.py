@@ -218,3 +218,56 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     got = [r.event_id for r in rows]
     assert set(got) == batch_keys
     assert len(got) == len(set(got))  # every key exactly once
+
+
+def test_streaming_edge_support_matches_batch(spark, tmp_path):
+    """Continuous KG maintenance: the running edge-support state over
+    a document file-stream equals the batch lead-window support table
+    (the IVM auxiliary state of degrees_incremental) — adjacency is
+    document-local, so the stream derives it statelessly per
+    micro-batch and the state store holds one row per edge key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from wikidata_qrank_spark.operators.linking import canonical_dictionary
+    from wikidata_qrank_spark.operators.mentions import text_mentions
+    from wikidata_qrank_spark.sources.interleaved import dictionary, redirects, spans
+    from wikidata_qrank_spark.streaming.mentions import (
+        streaming_docs,
+        streaming_edge_support,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(150)
+    src = str(tmp_path / "docs_src2")
+    docs.coalesce(3).write.parquet(src)
+    static_docs = spark.read.parquet(src)
+
+    d = dictionary(static_docs)
+    cdict = canonical_dictionary(d, redirects(d))
+    m = text_mentions(spans(static_docs), cdict)
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    batch = {
+        (r.src_id, r.dst_id, r.support)
+        for r in m.withColumn("__next", F.lead("item_id").over(w))
+        .filter(F.col("__next").isNotNull() & (F.col("__next") != F.col("item_id")))
+        .groupBy(
+            F.col("item_id").alias("src_id"), F.col("__next").alias("dst_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .collect()
+    }
+
+    stream = streaming_docs(spark, src, schema=static_docs.schema)
+    q = (
+        streaming_edge_support(stream, cdict)
+        .writeStream.format("memory")
+        .queryName("edge_support_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.src_id, r.dst_id, r.support)
+        for r in spark.sql("SELECT * FROM edge_support_stream").collect()
+    }
+    assert got == batch

@@ -43,3 +43,66 @@ def streaming_qviews(doc_stream: DataFrame, dict_df: DataFrame) -> DataFrame:
     return mentions.groupBy("item_id").agg(
         F.count(F.lit(1)).cast("long").alias("views")
     )
+
+
+def streaming_edge_support(
+    doc_stream: DataFrame, dict_df: DataFrame
+) -> DataFrame:
+    """Running (src_id, dst_id, support) over a document stream — the
+    continuous-KG-maintenance twin of
+    plans.incremental_kg.degrees_incremental: consecutive-mention
+    edges are DOCUMENT-LOCAL, so each micro-batch derives its pair
+    instances STATELESSLY inside the doc-local Arrow kernel (the
+    triples_arrow adjacency rule, duplicates kept — support counts
+    multiplicity), and the running support table is the ONLY stateful
+    operator (one row per edge key, additive merge — the IVM auxiliary
+    state, maintained by the engine's state store instead of an
+    explicit full-outer merge). Degrees/triples are a stateless view
+    over it (keys with support ≥ 1).
+
+    Streaming-legal by construction: no window/lead over the stream
+    and no chained stateful aggregations (a per-doc groupBy before the
+    edge groupBy trips Spark's global-watermark correctness check);
+    the kernel is a pure map. The dictionary is a collected broadcast
+    dimension guarded by collect_dictionary's size ceiling — past it,
+    continuous mode needs the batch incremental path
+    (degrees_incremental per dump drop)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..operators.mentions import collect_dictionary
+    from ..sources.interleaved import MEDIA_MOD, MEDIA_PHASE
+
+    spark = doc_stream.sparkSession
+    table = collect_dictionary(dict_df)  # default size ceiling applies
+    bc = spark.sparkContext.broadcast(table)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lookup = bc.value
+        for pdf in batches:
+            srcs: list[int] = []
+            dsts: list[int] = []
+            for text in pdf["text"]:
+                prev = None
+                for pos, tok in enumerate(text.split(" ")):
+                    if pos % MEDIA_MOD == MEDIA_PHASE:
+                        continue
+                    item = lookup.get(tok)
+                    if item is None:
+                        continue
+                    if prev is not None and prev != item:
+                        srcs.append(prev)
+                        dsts.append(item)
+                    prev = item
+            yield pd.DataFrame(
+                {"src_id": pd.Series(srcs, dtype="int64"),
+                 "dst_id": pd.Series(dsts, dtype="int64")}
+            )
+
+    pairs = doc_stream.select("text").mapInPandas(
+        kernel, schema="src_id long, dst_id long"
+    )
+    return pairs.groupBy("src_id", "dst_id").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
