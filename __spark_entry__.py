@@ -1035,6 +1035,7 @@ _GATE_FIRST = (
     "kg_weighted_pagerank",
     "td_word_dropout",
     "td_seq_packing",
+    "kg_neighbor_sample",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1628,6 +1629,15 @@ def _td_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing(_documents(spark, sf_dir))
 
 
+def _kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GraphSAGE-style neighbor sampling, fanouts
+    (3, 2) — per-(seed, node) top-fanout by portable hash; hub work
+    capped at fanout rows."""
+    from wikidata_qrank_spark.operators.graph import neighbor_sample
+
+    return neighbor_sample(_kg_edges(spark, sf_dir))
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1942,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_weighted_pagerank"] = _kg_weighted_pagerank
     out["td_word_dropout"] = _td_word_dropout
     out["td_seq_packing"] = _td_seq_packing
+    out["kg_neighbor_sample"] = _kg_neighbor_sample
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

@@ -746,3 +746,34 @@ def test_weighted_pagerank_weight_sensitivity(spark):
     again = {r.node: r.rank_micro
              for r in weighted_pagerank(skew).collect()}
     assert again == got
+
+
+def test_neighbor_sample_caps_and_determinism(spark):
+    """A 50-out-degree hub contributes exactly fanout rows per hop
+    (the sampler's point); the sample replays with hashlib and is
+    identical across runs; hop-2 edges only extend hop-1 samples."""
+    import hashlib
+
+    from wikidata_qrank_spark.operators.graph import neighbor_sample
+
+    hub = 0
+    rows = [(hub, 100 + j) for j in range(50)]
+    rows += [(100 + j, 200 + j) for j in range(50)]
+    edges = _edges(spark, rows)
+    out1 = sorted(tuple(r) for r in neighbor_sample(edges, (3, 2)).collect())
+    out2 = sorted(tuple(r) for r in neighbor_sample(edges, (3, 2)).collect())
+    assert out1 == out2
+    hop1_hub = [r for r in out1 if r[1] == 1 and r[2] == hub]
+    assert len(hop1_hub) == 3  # 50 neighbors -> 3 sampled
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expect = sorted(
+        range(100, 150),
+        key=lambda v: (h60(f"{hub}|1|{hub}|{v}"), v),
+    )[:3]
+    assert sorted(r[3] for r in hop1_hub) == sorted(expect)
+    # hop-2 srcs must be hop-1 dsts of the same seed
+    hop1 = {(r[0], r[3]) for r in out1 if r[1] == 1}
+    assert all((r[0], r[2]) in hop1 for r in out1 if r[1] == 2)

@@ -1565,3 +1565,70 @@ def weighted_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    fanouts: tuple[int, ...] = (3, 2),
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """(seed, hop, src, dst) — deterministic GraphSAGE-style neighbor
+    sampling: for every seed node, hop h keeps at most fanouts[h-1]
+    out-neighbors of each frontier node, chosen by ranking candidate
+    edges on the portable hash hash60(seed|h|src|dst) — the minibatch
+    subgraph sampler a GNN trainer (GraphSAGE/PinSAGE) consumes,
+    with NO RNG state: the same graph yields the same sample under any
+    partitioning/retry, and the oracle replays it bit-for-bit.
+
+    Scale shape: hop h is one (frontier ⋈ adjacency) equi-join on the
+    node key followed by a row_number window PARTITIONED BY (seed,
+    src) — per-group state is the fanout cap, and frontier growth is
+    bounded by Π fanouts (the sampler's whole point: a hub's million
+    neighbors contribute fanout rows, not a million). Frontier is
+    eagerly truncated per hop (multi-consumer rule)."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash60
+
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError(f"fanouts must be non-empty positive, got {fanouts}")
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select(F.col("node").alias("seed"), F.col("node").alias("cur"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for h, fan in enumerate(fanouts, start=1):
+        key = F.concat_ws(
+            "|",
+            F.col("seed").cast("string"),
+            F.lit(str(h)),
+            F.col("cur").cast("string"),
+            F.col("v").cast("string"),
+        )
+        w = Window.partitionBy("seed", "cur").orderBy(
+            hash60(key).asc(), F.col("v").asc()
+        )
+        sampled = (
+            frontier.join(e.withColumnRenamed("u", "cur"), "cur")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= fan)
+            .select(
+                "seed",
+                F.lit(h).cast("long").alias("hop"),
+                F.col("cur").alias("src"),
+                F.col("v").alias("dst"),
+            )
+        )
+        hop_rows = sampled.localCheckpoint(eager=True)
+        out = hop_rows if out is None else out.unionByName(hop_rows)
+        frontier = hop_rows.select(
+            "seed", F.col("dst").alias("cur")
+        ).distinct().localCheckpoint(eager=True)
+    return out

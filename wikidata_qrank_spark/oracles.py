@@ -4148,3 +4148,39 @@ binsS AS (
 SELECT p.doc_id, p.n_tokens, p.bin_id, b.bin_docs, b.bin_fill
 FROM placed p JOIN binsS b ON p.bin_id = b.bin_id
 """
+
+
+# Deterministic neighbor sampling (operators/graph.py neighbor_sample,
+# fanouts (3, 2)): per-(seed, frontier-node) top-fanout edges under the
+# portable hash ranking, unrolled per hop.
+def _neighbor_sample_sql(fanouts: tuple[int, ...]) -> str:
+    ctes = [
+        """,
+eN AS (SELECT DISTINCT u, v FROM edges),
+f0 AS (SELECT node AS seed, node AS cur FROM nodes)"""
+    ]
+    selects = []
+    for h, fan in enumerate(fanouts, start=1):
+        ctes.append(
+            f""",
+s{h} AS (
+  SELECT seed, CAST({h} AS BIGINT) AS hop, cur AS src, v AS dst FROM (
+    SELECT f.seed, f.cur, e.v,
+           row_number() OVER (
+             PARTITION BY f.seed, f.cur
+             ORDER BY CAST('0x' || substr(md5(CAST(f.seed AS VARCHAR)
+                        || '|{h}|' || CAST(f.cur AS VARCHAR) || '|'
+                        || CAST(e.v AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+                      e.v ASC) AS rn
+    FROM f{h - 1} f JOIN eN e ON e.u = f.cur
+  ) WHERE rn <= {fan}
+),
+f{h} AS (SELECT DISTINCT seed, dst AS cur FROM s{h})"""
+        )
+        selects.append(f"SELECT seed, hop, src, dst FROM s{h}")
+    return kg_sql(
+        _EDGES_CTE + "".join(ctes) + "\nUNION ALL\n".join(selects)
+    )
+
+
+ORACLES["kg_neighbor_sample"] = _neighbor_sample_sql((3, 2))
