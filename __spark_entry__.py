@@ -1036,6 +1036,7 @@ _GATE_FIRST = (
     "td_word_dropout",
     "td_seq_packing",
     "kg_neighbor_sample",
+    "kg_lp_metrics",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1638,6 +1639,17 @@ def _kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_sample(_kg_edges(spark, sf_dir))
 
 
+def _kg_lp_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-protocol MRR + hits@k over the capped-wedge link
+    prediction scores — the ranking-evaluation harness."""
+    from wikidata_qrank_spark.operators.graph import (
+        link_prediction,
+        link_prediction_metrics,
+    )
+
+    return link_prediction_metrics(link_prediction(_kg_edges(spark, sf_dir)))
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1953,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_word_dropout"] = _td_word_dropout
     out["td_seq_packing"] = _td_seq_packing
     out["kg_neighbor_sample"] = _kg_neighbor_sample
+    out["kg_lp_metrics"] = _kg_lp_metrics
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

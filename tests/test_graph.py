@@ -777,3 +777,26 @@ def test_neighbor_sample_caps_and_determinism(spark):
     # hop-2 srcs must be hop-1 dsts of the same seed
     hop1 = {(r[0], r[3]) for r in out1 if r[1] == 1}
     assert all((r[0], r[2]) in hop1 for r in out1 if r[1] == 2)
+
+
+def test_link_prediction_metrics_hand_golden(spark):
+    """Two seeds with known candidate rankings: seed 1's first true
+    edge sits at rank 2 (rr 500000), seed 2's at rank 1 (rr 1e6);
+    seed 3 has no true candidate and is excluded by the filtered
+    protocol -> n_seeds 2, mean_rr 750000, hits1 500, hits3 1000."""
+    from wikidata_qrank_spark.operators.graph import link_prediction_metrics
+
+    scores = spark.createDataFrame(
+        [
+            (1, 10, 900, False), (1, 11, 800, True), (1, 12, 700, False),
+            (2, 20, 500, True), (2, 21, 400, False),
+            (3, 30, 300, False),
+        ],
+        "node_a long, node_b long, aa_micro long, is_edge boolean",
+    )
+    row = link_prediction_metrics(scores).collect()[0]
+    assert row.n_seeds == 2
+    assert row.mean_rr_micro == (500000 + 1000000) // 2
+    assert row.hits1_permille == 500
+    assert row.hits3_permille == 1000
+    assert row.hits10_permille == 1000

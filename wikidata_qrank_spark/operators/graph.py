@@ -1632,3 +1632,59 @@ def neighbor_sample(
             "seed", F.col("dst").alias("cur")
         ).distinct().localCheckpoint(eager=True)
     return out
+
+
+def link_prediction_metrics(
+    scores: DataFrame, ks: tuple[int, ...] = (1, 3, 10)
+) -> DataFrame:
+    """One row — (n_seeds, mean_rr_micro, hits{k}_permille...) — the
+    standard KG-embedding/link-prediction evaluation: per seed
+    (node_a), candidates rank by (aa_micro desc, node_b asc); the
+    reciprocal rank of the FIRST true edge (is_edge) gives MRR, and
+    hits@k counts seeds whose top-k contains a true edge. Seeds with
+    no true edge among their candidates are excluded (reciprocal rank
+    undefined there — stated, the conventional filtered protocol).
+    Integer-exact: per-seed rr = 1e6 div first_rank, the mean divides
+    once on the final row; hits are exact counts → permille.
+
+    Scale shape: one rank window PARTITIONED BY seed (per-group state
+    = the candidate list of that seed, already bounded by the capped
+    wedge join upstream), one seed-keyed min-aggregate, one global
+    fold of small integers."""
+    from pyspark.sql import Window
+
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive, got {ks}")
+    w = Window.partitionBy("node_a").orderBy(
+        F.col("aa_micro").desc(), F.col("node_b").asc()
+    )
+    ranked = scores.select(
+        "node_a", "node_b", "aa_micro", "is_edge"
+    ).withColumn("__rank", F.row_number().over(w).cast("long"))
+    firsts = (
+        ranked.filter(F.col("is_edge"))
+        .groupBy("node_a")
+        .agg(F.min("__rank").alias("first_rank"))
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_seeds"),
+        F.sum(F.expr("1000000 div first_rank")).cast("long").alias("__rr_sum"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(F.when(F.col("first_rank") <= k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__h{k}")
+        )
+    folded = firsts.agg(*aggs)
+    cols = [
+        "n_seeds",
+        F.expr("__rr_sum div n_seeds").cast("long").alias("mean_rr_micro"),
+    ]
+    for k in ks:
+        cols.append(
+            F.expr(f"(__h{k} * 1000) div n_seeds")
+            .cast("long")
+            .alias(f"hits{k}_permille")
+        )
+    return folded.select(*cols)

@@ -4184,3 +4184,63 @@ f{h} AS (SELECT DISTINCT seed, dst AS cur FROM s{h})"""
 
 
 ORACLES["kg_neighbor_sample"] = _neighbor_sample_sql((3, 2))
+
+
+# Link-prediction ranking metrics (operators/graph.py
+# link_prediction_metrics over link_prediction's capped-wedge scores):
+# filtered-protocol MRR + hits@k in exact integers. The scores CTE is
+# the kg_link_prediction oracle body verbatim.
+ORACLES["kg_lp_metrics"] = kg_sql(
+    _EDGES_CTE
+    + """
+, undp AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+degp AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM undp GROUP BY u),
+midp AS (
+  SELECT u AS mid, deg AS mid_deg FROM degp WHERE deg BETWEEN 2 AND 64
+),
+adjp AS (
+  SELECT a.u AS mid, m.mid_deg, a.v AS x
+  FROM undp a JOIN midp m ON a.u = m.mid
+),
+pairsp AS (
+  SELECT a1.x AS node_a, a2.x AS node_b,
+         CAST(sum(CAST(floor(1000000.0 / ln(CAST(a1.mid_deg AS DOUBLE))
+                             + 0.5) AS BIGINT)) AS BIGINT) AS aa_micro,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM adjp a1 JOIN adjp a2 ON a1.mid = a2.mid AND a1.x < a2.x
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+scoresM AS (
+  SELECT p.node_a, p.node_b, p.aa_micro,
+         (e.u IS NOT NULL) AS is_edge
+  FROM pairsp p
+  LEFT JOIN undp e ON e.u = p.node_a AND e.v = p.node_b
+),
+rankedM AS (
+  SELECT node_a, is_edge,
+         CAST(row_number() OVER (PARTITION BY node_a
+                                 ORDER BY aa_micro DESC, node_b ASC)
+              AS BIGINT) AS rnk
+  FROM scoresM
+),
+firstsM AS (
+  SELECT node_a, CAST(min(rnk) AS BIGINT) AS first_rank
+  FROM rankedM WHERE is_edge GROUP BY node_a
+),
+foldM AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_seeds,
+         CAST(sum(1000000 // first_rank) AS BIGINT) AS rr_sum,
+         CAST(sum(CASE WHEN first_rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+         CAST(sum(CASE WHEN first_rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+         CAST(sum(CASE WHEN first_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10
+  FROM firstsM
+)
+SELECT n_seeds,
+       CAST(rr_sum // n_seeds AS BIGINT) AS mean_rr_micro,
+       CAST((h1 * 1000) // n_seeds AS BIGINT) AS hits1_permille,
+       CAST((h3 * 1000) // n_seeds AS BIGINT) AS hits3_permille,
+       CAST((h10 * 1000) // n_seeds AS BIGINT) AS hits10_permille
+FROM foldM
+"""
+)
