@@ -1037,6 +1037,7 @@ _GATE_FIRST = (
     "td_seq_packing",
     "kg_neighbor_sample",
     "kg_lp_metrics",
+    "td_ann_recall",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1650,6 +1651,15 @@ def _kg_lp_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_metrics(link_prediction(_kg_edges(spark, sf_dir)))
 
 
+def _td_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured IVF recall@5 vs brute-force truth on the gate's 16
+    queries — the acceptance dial for (num_centroids, nprobe)."""
+    from wikidata_qrank_spark.operators.similarity import ann_recall_report
+
+    emb = _embeddings(spark, sf_dir)
+    return ann_recall_report(emb, emb.filter(F.col("vec_id") < 16), k=5)
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1966,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["td_seq_packing"] = _td_seq_packing
     out["kg_neighbor_sample"] = _kg_neighbor_sample
     out["kg_lp_metrics"] = _kg_lp_metrics
+    out["td_ann_recall"] = _td_ann_recall
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

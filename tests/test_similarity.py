@@ -306,3 +306,20 @@ def test_semdedup_cluster_scoping(spark):
     assert rows[0].cid == rows[1].cid
     assert rows[0].keep is True and rows[1].keep is False
     assert rows[2].keep is True
+
+
+def test_ann_recall_monotone_in_nprobe(spark):
+    """Recall@k rises with nprobe and reaches 1000 permille when every
+    cell is probed (the approximate search degenerates to exact);
+    truth size is n_queries x k on this dense fixture."""
+    from wikidata_qrank_spark.operators.similarity import ann_recall_report
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(emb.vec_id < 8)
+    lo = ann_recall_report(emb, q, k=5, num_centroids=8, nprobe=2).collect()[0]
+    hi = ann_recall_report(emb, q, k=5, num_centroids=8, nprobe=8).collect()[0]
+    assert lo.n_queries == hi.n_queries == 8
+    assert lo.n_truth == hi.n_truth == 40
+    assert hi.recall_permille == 1000
+    assert lo.recall_permille <= hi.recall_permille

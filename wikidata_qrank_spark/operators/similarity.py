@@ -618,3 +618,50 @@ def semdedup(
             "vec_id", "cid", F.col("__drop").isNull().alias("keep")
         )
     )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """One row — (n_queries, n_truth, n_hit, recall_permille): measured
+    recall@k of the IVF approximate search against the exact
+    brute-force top-k on the same queries — the acceptance dial for
+    (num_centroids, nprobe): the IVF plan only probes nprobe cells, so
+    true neighbors in unprobed cells are the recall loss this report
+    makes visible (the ANN twin of dedup.lsh_quality_report).
+
+    Both sides run their documented plans; truth and candidates are
+    eagerly truncated (each feeds a count AND the intersection), the
+    hit join keys on (query, neighbor), ratios are exact integer
+    permille."""
+    truth = brute_force_topk(
+        corpus, queries, k, id_col, vec_col
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    approx = ivf_topk(
+        corpus, queries, k, id_col, vec_col,
+        num_centroids=num_centroids, nprobe=nprobe,
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nh = approx.join(truth, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        nq.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN"
+                " CAST((n_hit * 1000) div n_truth AS BIGINT) END"
+            ).alias("recall_permille"),
+        )
+    )

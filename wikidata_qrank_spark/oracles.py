@@ -4244,3 +4244,31 @@ SELECT n_seeds,
 FROM foldM
 """
 )
+
+
+# ANN recall@5 (operators/similarity.py ann_recall_report): IVF
+# candidates (td_ivf_ann's full oracle, nprobe=4) against brute-force
+# truth (td_ann_topk's full oracle) on the same 16 queries; the two
+# existing oracles nest verbatim as derived tables.
+ORACLES["td_ann_recall"] = f"""
+WITH truthA AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["td_ann_topk"]})
+),
+candA AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["td_ivf_ann"]})
+),
+numsA AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT)
+          FROM embeddings WHERE vec_id < 16) AS n_queries,
+         (SELECT CAST(count(*) AS BIGINT) FROM truthA) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM candA c JOIN truthA t
+            ON c.query_id = t.query_id
+           AND c.neighbor_id = t.neighbor_id) AS n_hit
+)
+SELECT n_queries, n_truth, n_hit,
+       CASE WHEN n_truth > 0
+            THEN CAST((n_hit * 1000) // n_truth AS BIGINT)
+       END AS recall_permille
+FROM numsA
+"""
