@@ -1038,6 +1038,7 @@ _GATE_FIRST = (
     "kg_neighbor_sample",
     "kg_lp_metrics",
     "td_ann_recall",
+    "mm_ahash_near_groups",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1660,6 +1661,22 @@ def _td_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_report(emb, emb.filter(F.col("vec_id") < 16), k=5)
 
 
+def _mm_ahash_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-1 adjacency between distinct media-hash groups — flip
+    probes equi-join in value space, O(values × bits), never
+    quadratic."""
+    from wikidata_qrank_spark.operators.multimodal import (
+        ahash_near_groups,
+        extract_features,
+        media_ahash,
+        media_table,
+    )
+    from wikidata_qrank_spark.sources.interleaved import spans
+
+    feats = extract_features(media_table(spans(_documents(spark, sf_dir))))
+    return ahash_near_groups(media_ahash(feats))
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1977,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_neighbor_sample"] = _kg_neighbor_sample
     out["kg_lp_metrics"] = _kg_lp_metrics
     out["td_ann_recall"] = _td_ann_recall
+    out["mm_ahash_near_groups"] = _mm_ahash_near_groups
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

@@ -164,3 +164,19 @@ def test_decode_dispatcher_falls_back_on_text_payload():
 
     payload = "File:Station_plan.svg".encode()
     assert np.array_equal(mm._decode(payload), mm._fake_decode(payload))
+
+
+def test_ahash_near_groups_flip_probe(spark):
+    """Hash values 0b0001 and 0b0011 differ in one bit -> paired with
+    their group counts; 0b1100 is >=2 flips from both -> absent; each
+    pair appears once (a < b guard)."""
+    from wikidata_qrank_spark.operators.multimodal import ahash_near_groups
+
+    hashes = spark.createDataFrame(
+        [(1,), (1,), (3,), (12,), (12,), (12,)],
+        "ahash long",
+    )
+    got = {(r.hash_a, r.hash_b): (r.n_a, r.n_b)
+           for r in ahash_near_groups(hashes, bits=4).collect()}
+    # only (1,3) at hamming 1; 12's flips are {13,14,8,4}, none present
+    assert got == {(1, 3): (2, 1)}

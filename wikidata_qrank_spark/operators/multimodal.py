@@ -261,3 +261,41 @@ def media_ahash(features_df: DataFrame) -> DataFrame:
         .withColumn("ahash", ah)
         .select("doc_id", "offset", "media_ref", "ahash")
     )
+
+
+def ahash_near_groups(ahash_df: DataFrame, bits: int = 8) -> DataFrame:
+    """(hash_a, hash_b, n_a, n_b) — pairs of DISTINCT perceptual-hash
+    values at Hamming distance exactly 1, each with its media count:
+    the merge candidates for near-duplicate media groups (exact-hash
+    groups are the base clusters; Hamming-1 adjacency says which
+    clusters are perceptually the same asset re-encoded).
+
+    The scale trick is the flip probe: instead of a quadratic
+    hash×hash comparison, every distinct value explodes its ``bits``
+    one-bit flips map-side and EQUI-joins them against the value table
+    — work is O(distinct values × bits), keyed, with the a < b guard
+    emitting each pair once. Operating on VALUE space (distinct hashes
+    + counts), not instance space, keeps hot assets (a million copies
+    of one logo) as one row."""
+    if bits < 1:
+        raise ValueError(f"bits must be >= 1, got {bits}")
+    counts = ahash_df.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    flips = counts.select(
+        F.col("ahash").alias("hash_a"),
+        F.col("n").alias("n_a"),
+        F.explode(
+            F.array(*[F.expr(f"ahash ^ CAST({1 << i} AS BIGINT)") for i in range(bits)])
+        ).alias("hash_b"),
+    )
+    return (
+        flips.filter(F.col("hash_a") < F.col("hash_b"))
+        .join(
+            counts.select(
+                F.col("ahash").alias("hash_b"), F.col("n").alias("n_b")
+            ),
+            "hash_b",
+        )
+        .select("hash_a", "hash_b", "n_a", "n_b")
+    )

@@ -4272,3 +4272,25 @@ SELECT n_queries, n_truth, n_hit,
        END AS recall_permille
 FROM numsA
 """
+
+
+# Hamming-1 adjacency between distinct media-hash groups
+# (operators/multimodal.py ahash_near_groups over mm_media_ahash's
+# hashes): flip-probe equi-join in value space — the oracle reuses the
+# mm_media_ahash statement verbatim as the hash source.
+ORACLES["mm_ahash_near_groups"] = f"""
+WITH hsrc AS (
+  SELECT ahash FROM ({ORACLES["mm_media_ahash"]})
+),
+cnts AS (
+  SELECT ahash, CAST(count(*) AS BIGINT) AS n FROM hsrc GROUP BY 1
+),
+flips AS (
+  SELECT c.ahash AS hash_a, c.n AS n_a,
+         xor(c.ahash, CAST((1 << f.i) AS BIGINT)) AS hash_b
+  FROM cnts c CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) f
+)
+SELECT f.hash_a, f.hash_b, f.n_a, c2.n AS n_b
+FROM flips f JOIN cnts c2 ON f.hash_b = c2.ahash
+WHERE f.hash_a < f.hash_b
+"""
