@@ -1039,6 +1039,7 @@ _GATE_FIRST = (
     "kg_lp_metrics",
     "td_ann_recall",
     "mm_ahash_near_groups",
+    "kg_rank_drift",
     "kg_ppr",
     "kg_label_prop",
     "kg_harmonic",
@@ -1677,6 +1678,14 @@ def _mm_ahash_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_groups(media_ahash(feats))
 
 
+def _kg_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-snapshot ranking drift (rose/fell items), per-snapshot
+    two-phase ranks, full outer on item_id."""
+    from wikidata_qrank_spark.plans.incremental_kg import kg_rank_drift
+
+    return kg_rank_drift(spark, sf_dir)
+
+
 def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (seeded codebook, map-only
     assignment), drop vectors with a lower-id near-dup in their own
@@ -1995,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_lp_metrics"] = _kg_lp_metrics
     out["td_ann_recall"] = _td_ann_recall
     out["mm_ahash_near_groups"] = _mm_ahash_near_groups
+    out["kg_rank_drift"] = _kg_rank_drift
     out["td_semdedup"] = _td_semdedup
     out["td_skipgrams"] = _td_skipgrams
     out["kg_transe_step"] = _kg_transe_step

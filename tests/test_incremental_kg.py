@@ -341,3 +341,33 @@ def test_degrees_incremental_equals_full_recompute(spark):
     )
     full = sorted(tuple(r) for r in degrees(full_edges).collect())
     assert inc == full
+
+
+def test_rank_drift_hand_golden(spark):
+    """Three items across two snapshots: item 20 overtakes item 10 in
+    snapshot B -> positive drift for the riser, negative for the
+    faller; an item absent from one snapshot carries NULLs."""
+    from pyspark.sql import functions as F
+    from wikidata_qrank_spark.operators.linking import canonical_dictionary
+    from wikidata_qrank_spark.plans.incremental_kg import rank_drift
+    from wikidata_qrank_spark.sources.interleaved import dictionary, redirects
+    from wikidata_qrank_spark.sources.tables import load_table
+
+    documents = load_table(spark, SF_SMOKE, "documents")
+    d = dictionary(documents)
+    cdict = canonical_dictionary(d, redirects(d)).localCheckpoint(eager=True)
+    out = {r.item_id: r for r in rank_drift(
+        documents, cdict,
+        F.col("doc_id") % 5 != 0, F.col("doc_id") % 5 != 1,
+    ).collect()}
+    # structural invariants: ranks are dense 1..n per snapshot,
+    # drift = rank_a - rank_b wherever both sides exist
+    ra = sorted(r.rank_a for r in out.values() if r.rank_a is not None)
+    rb = sorted(r.rank_b for r in out.values() if r.rank_b is not None)
+    assert ra == list(range(1, len(ra) + 1))
+    assert rb == list(range(1, len(rb) + 1))
+    for r in out.values():
+        if r.rank_a is not None and r.rank_b is not None:
+            assert r.rank_drift == r.rank_a - r.rank_b
+        else:
+            assert r.rank_drift is None

@@ -4294,3 +4294,30 @@ SELECT f.hash_a, f.hash_b, f.n_a, c2.n AS n_b
 FROM flips f JOIN cnts c2 ON f.hash_b = c2.ahash
 WHERE f.hash_a < f.hash_b
 """
+
+
+# Rank drift between snapshots (plans/incremental_kg.py rank_drift,
+# A = doc_id % 5 != 0, B = doc_id % 5 != 1): per-snapshot qrank order
+# replayed with a plain window, full outer on item_id.
+ORACLES["kg_rank_drift"] = kg_sql(
+    """
+, qa AS (
+  SELECT item_id, CAST(count(*) AS BIGINT) AS views_a,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, item_id ASC)
+              AS BIGINT) AS rank_a
+  FROM tmentions WHERE CAST(doc_id AS BIGINT) % 5 != 0
+  GROUP BY item_id
+),
+qb AS (
+  SELECT item_id, CAST(count(*) AS BIGINT) AS views_b,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, item_id ASC)
+              AS BIGINT) AS rank_b
+  FROM tmentions WHERE CAST(doc_id AS BIGINT) % 5 != 1
+  GROUP BY item_id
+)
+SELECT COALESCE(qa.item_id, qb.item_id) AS item_id,
+       qa.views_a, qb.views_b, qa.rank_a, qb.rank_b,
+       CAST(qa.rank_a - qb.rank_b AS BIGINT) AS rank_drift
+FROM qa FULL OUTER JOIN qb ON qa.item_id = qb.item_id
+"""
+)

@@ -213,3 +213,61 @@ def kg_degrees_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-consumer dictionary truncation, as in kg_qviews_incremental
     cdict = canonical_dictionary(d, redirects(d)).localCheckpoint(eager=True)
     return degrees_incremental(documents, cdict, F.col("doc_id") % 10 == 0)
+
+
+def rank_drift(
+    documents: DataFrame, cdict: DataFrame, in_a, in_b
+) -> DataFrame:
+    """(item_id, views_a, views_b, rank_a, rank_b, rank_drift) —
+    ranking drift between two corpus snapshots: each snapshot's
+    per-entity view counts rank independently (views desc, item asc —
+    the qrank order), the full outer join keeps items that appear in
+    only one snapshot (NULL views/rank there, NULL drift), and
+    rank_drift = rank_a − rank_b (positive: the item ROSE into
+    snapshot B). The between-dumps product question the reference's
+    published qrank CSVs get diffed for by hand.
+
+    Ranks come from rank.global_row_number (two-phase, no
+    single-partition sort); each snapshot aggregates independently
+    (map-side partials) and the final join keys on item_id."""
+    from ..operators.mentions import text_mentions
+    from ..operators.qrank import qviews
+    from ..operators.rank import global_row_number
+    from ..sources.interleaved import spans
+
+    def ranked(pred, vcol: str, rcol: str) -> DataFrame:
+        qv = qviews(text_mentions(spans(documents.filter(pred)), cdict))
+        return global_row_number(
+            qv,
+            [F.col("views").desc(), F.col("item_id").asc()],
+            rank_col=rcol,
+        ).select("item_id", F.col("views").alias(vcol), rcol)
+
+    a = ranked(in_a, "views_a", "rank_a")
+    b = ranked(in_b, "views_b", "rank_b")
+    return a.join(b, "item_id", "full_outer").select(
+        "item_id",
+        "views_a",
+        "views_b",
+        "rank_a",
+        "rank_b",
+        (F.col("rank_a") - F.col("rank_b")).cast("long").alias("rank_drift"),
+    )
+
+
+def kg_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate composition: snapshot A drops doc_id % 5 == 0, snapshot B
+    drops doc_id % 5 == 1 (the kg_snapshot_diff split)."""
+    from ..operators.linking import canonical_dictionary
+    from ..sources.interleaved import dictionary, redirects
+    from ..sources.tables import load_table
+
+    documents = load_table(spark, sf_dir, "documents")
+    d = dictionary(documents)
+    cdict = canonical_dictionary(d, redirects(d)).localCheckpoint(eager=True)
+    return rank_drift(
+        documents,
+        cdict,
+        F.col("doc_id") % 5 != 0,
+        F.col("doc_id") % 5 != 1,
+    )
