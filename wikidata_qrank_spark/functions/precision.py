@@ -17,16 +17,18 @@ def round6(col):
     return F.floor(col * 1000000.0 + 0.5) / 1000000.0
 
 
-def floor_div(expr: str, divisor: int):
-    """Sign-corrected long floor division matching DuckDB's ``//``.
-
-    Spark's ``div`` truncates toward zero, so negative values (e.g.
-    pre-1970 epoch micros) land one bucket high; this corrects the
-    quotient when the remainder is negative, all in long arithmetic
-    (double division loses exactness above 2^53)."""
-    q = F.expr(f"({expr}) div {divisor}")
-    r = F.expr(f"({expr}) % {divisor}")
-    return F.when(r < 0, q - F.lit(1)).otherwise(q).cast("long")
+def trunc_div(expr: str, divisor: int):
+    """Long division truncating toward zero — the semantics BOTH
+    engines natively share: Spark's ``div`` and DuckDB's ``//`` each
+    truncate (verified: ``-7 // 2 = -3`` in DuckDB 1.0.0), so emitting
+    plain ``div`` keeps negative quotients (pre-1970 epoch micros,
+    negative gradients) in cross-engine lockstep. The previous
+    ``floor_div`` here applied a sign correction toward −∞ under the
+    mistaken claim that DuckDB floors — which silently diverged from
+    every ``//`` oracle on negative non-divisible values (round-5
+    ADVICE finding). All in long arithmetic (double division loses
+    exactness above 2^53)."""
+    return F.expr(f"({expr}) div {divisor}").cast("long")
 
 
 ROUND6_SQL = "floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"

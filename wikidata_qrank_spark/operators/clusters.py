@@ -60,21 +60,31 @@ def connected_components(
         for _ in range(max_iters):
             nbr = edges.join(
                 labels.withColumnRenamed("node", "b"), "b"
-            ).select(F.col("a").alias("node"), "label")
+            ).select(
+                F.col("a").alias("node"),
+                "label",
+                F.lit(None).cast(labels.schema["label"].dataType).alias("__old"),
+            )
+            # carry the previous label through the min-aggregation
+            # (labels are unique per node, so max(__old) recovers it):
+            # the fixpoint check becomes a shuffle-free filter-count on
+            # the checkpointed rows instead of a join back against the
+            # previous round — one fewer join + shuffle per round
+            # (guide §2.4), same convergence decision.
             new_labels = (
-                labels.unionByName(nbr)
+                labels.select("node", "label", F.col("label").alias("__old"))
+                .unionByName(nbr)
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
+                .agg(
+                    F.min("label").alias("label"),
+                    F.max("__old").alias("__old"),
+                )
                 .localCheckpoint(eager=True)
             )
             changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("label", "__old"), "node"
-                )
-                .filter(F.col("label") != F.col("__old"))
-                .count()
+                new_labels.filter(F.col("label") != F.col("__old")).count()
             )
-            labels = new_labels
+            labels = new_labels.select("node", "label")
             if changed == 0:
                 break
         if changed != 0:

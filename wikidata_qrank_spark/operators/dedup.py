@@ -70,15 +70,20 @@ def dedup_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _shingles(documents: DataFrame, text_col: str, n: int) -> DataFrame:
     """(doc_id, shingle) distinct word n-grams per document. Built-in
-    array ops only: split → transform over a sequence of start offsets
-    → slice+join. Stays in whole-stage codegen."""
-    toks = F.split(F.col(text_col), " ")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    array ops only: split once per row (its own projection — a split
+    captured INSIDE the transform lambda is re-evaluated for every
+    gram, which made this the hidden hot spot of every shingle
+    consumer; guide §1.2 "per-task work"), then transform over start
+    offsets → slice+join."""
+    with_toks = documents.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("__tk")
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.size("__tk") - n, F.lit(0)))
     grams = F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        starts, lambda i: F.concat_ws(" ", F.slice("__tk", i + 1, n))
     )
     return (
-        documents.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        with_toks.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
 
@@ -107,27 +112,57 @@ def _pair_intersections(
 
 def _candidate_intersections(sh: DataFrame, candidates: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_inter, n_a, n_b) computed ONLY for the given
-    candidate pairs — the linear verification kernel shared by the
-    Jaccard and containment scale paths. Intermediate size = Σ_cand
-    |shingles(doc_a)|, independent of shingle popularity; shuffle keys
-    doc_a, then (doc_b, shingle). ``sh`` is the (doc_id, shingle)
-    frame from ``_shingles``."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    candidate pairs — the verification kernel shared by the Jaccard and
+    containment scale paths.
+
+    Round-6 shape (guide §2.3 "shuffle fewer bytes"): each doc's
+    distinct-shingle set is collected into ONE array row (state bounded
+    by doc length, the same bound the prefix sort already pays), the
+    candidate list joins the array table once per side, and the
+    intersection is a single JVM ``array_intersect`` per pair. The old
+    form exploded every candidate into |shingles(doc_a)| rows and
+    re-aggregated them — per-pair work is identical, but it paid two
+    shuffles plus a groupBy over candidates × doc_len ROWS (2×10⁹ at
+    the 50k-doc bench scale), where this moves exactly one row per
+    candidate. Arrays hold the shingle STRINGS, so the count is the
+    exact set intersection (no hash-collision caveat on this
+    oracle-checked value path). ``sh`` is the (doc_id, shingle) frame
+    from ``_shingles`` (distinct per doc by construction)."""
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("__toks"))
+    return _candidate_intersections_from_arrays(arrs, candidates)
+
+
+def _candidate_intersections_from_arrays(
+    arrs: DataFrame, candidates: DataFrame, assume_distinct: bool = False
+) -> DataFrame:
+    """Verification kernel over a prebuilt (doc_id, __toks) array table
+    (``__toks`` = the doc's distinct shingles, any order). Exposed so
+    the prefix joins can reuse their df-ordered per-doc arrays instead
+    of re-aggregating the shingle frame. ``assume_distinct`` skips the
+    defensive pair dedup when the caller's candidate stage already
+    ends in ``distinct()`` — the prefix paths do, and re-deduping
+    their ~10⁷-pair stream was a full extra exchange (guide §2.4)."""
     # defensive distinct: a duplicated candidate pair (e.g. a union of
-    # LSH and simhash candidate sources) would double-count every
-    # shared shingle and report similarity up to 2× the true value
-    cand = candidates.select("doc_a", "doc_b").distinct()
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    # LSH and simhash candidate sources) must not surface twice
+    cand = candidates.select("doc_a", "doc_b")
+    if not assume_distinct:
+        cand = cand.distinct()
+    a_arr = arrs.select(F.col("doc_id").alias("doc_a"), F.col("__toks").alias("__ta"))
+    b_arr = arrs.select(F.col("doc_id").alias("doc_b"), F.col("__toks").alias("__tb"))
+    return (
+        cand.join(a_arr, "doc_a")
+        .join(b_arr, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__ta", "__tb")).cast("long").alias("n_inter"),
+            F.size("__ta").cast("long").alias("n_a"),
+            F.size("__tb").cast("long").alias("n_b"),
+        )
+        # the old exploded form only emitted pairs sharing ≥1 shingle;
+        # keep the interface identical for zero-overlap candidates
+        .filter(F.col("n_inter") > 0)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def ngram_jaccard_pairs(
@@ -248,59 +283,123 @@ def jaccard_prefix_pairs(
     stays the right choice when a sketch-level recall bound suffices).
     """
     sh = _shingles(documents, text_col, n)
-    cand = jaccard_prefix_candidates(sh, threshold)
-    return jaccard_verify_candidates(
-        documents, cand, text_col=text_col, n=n, threshold=threshold, shingles=sh
+    per_doc = _df_ordered_docs(sh)
+    cand = _prefix_candidates(per_doc, threshold)
+    return (
+        _candidate_intersections_from_arrays(
+            per_doc.select("doc_id", F.col("toks").alias("__toks")),
+            cand,
+            assume_distinct=True,
+        )
+        .withColumn(
+            "jaccard",
+            round6(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
-def jaccard_prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
-    """The candidate stage of :func:`jaccard_prefix_pairs`, exposed so
-    its selectivity is testable/benchable on its own: (doc_a, doc_b)
-    pairs surviving the prefix + PPJoin length filters, a provably
-    lossless superset of the ≥ threshold pairs. ``sh`` is the
-    (doc_id, shingle) frame from ``_shingles``."""
+def _df_ordered_docs(sh: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, toks) — each doc's distinct shingles as ONE array,
+    ascending (document-frequency, shingle) order: the total token
+    order the SSJoin/PPJoin prefix lemma requires, built once and
+    shared by candidate generation (prefix = array slice) and
+    verification (exact ``array_intersect``). The identical aggregation
+    subtree appears under every consumer, so Spark's ReuseExchange
+    materializes the shuffle once per query."""
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
     ranked = sh.join(freq, "shingle")
     per_doc = ranked.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("toks")
+        F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ts")
     )
-    n_sh = F.size("toks")
-    # required overlap α ≤ ⌈t·|d|⌉, computed with a downward epsilon:
-    # (a) double noise in t·|d| must never OVER-ceil (t=0.07, |d|=100
-    # evaluates to 7.000000000000001 → ceil 8 would shorten the prefix
-    # and break losslessness), and (b) the output filter keeps pairs
-    # with round6(jaccard) ≥ t, i.e. true jaccard as low as t − 5e-7,
-    # whose overlap bound is correspondingly lower. Erring low only
-    # LENGTHENS the prefix — always safe.
-    alpha = F.ceil(n_sh * (F.lit(float(threshold)) - F.lit(1e-6)))
+    return per_doc.select(
+        "doc_id",
+        F.size("ts").alias("n_sh"),
+        F.transform("ts", lambda x: x["shingle"]).alias("toks"),
+    )
+
+
+def _prefix_candidates(per_doc: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b) pairs surviving the prefix, PPJoin length and
+    PPJoin positional filters — a provably lossless superset of the
+    Jaccard ≥ threshold pairs over ``per_doc`` (:func:`_df_ordered_docs`
+    output).
+
+    Filters, all with the downward epsilon (double noise in t·|d| must
+    never OVER-ceil — t=0.07, |d|=100 evaluates to 7.000000000000001 →
+    ceil 8 would shorten the prefix and break losslessness — and the
+    output keeps pairs with round6(jaccard) ≥ t, i.e. true jaccard as
+    low as t − 5e-7; erring low only admits more candidates — safe):
+
+    * prefix (lossless): under the (df, shingle) total order, J ≥ t
+      forces the first common token into BOTH prefixes of length
+      |d| − ⌈t·|d|⌉ + 1 (were it outside x's prefix, all common tokens
+      would sit in x's ⌈t·|x|⌉−1 suffix, fewer than the ⌈t·|x|⌉
+      overlap J ≥ t forces).
+    * length (lossless): J ≥ t forces t·|y| ≤ |x| ≤ |y|/t.
+    * positional (lossless, round 6 — guide §2.3, prune before the
+      exchange): a shared token at 1-based positions (pa, pb) of the
+      df-sorted lists bounds the overlap of everything at-or-after it:
+      I ≤ 1 + min(|x|−pa, |y|−pb). J ≥ t forces
+      I ≥ ⌈t·(|x|+|y|)/(1+t)⌉, so join rows whose positional bound
+      can't reach that are dropped. For a qualifying pair the FIRST
+      common token (no shared tokens before it, so its bound is valid
+      and ≥ I) always survives; later shared tokens may be pruned, and
+      ``distinct`` needs any one row. Halves the candidate set on the
+      dense-vocabulary bench corpus.
+
+    The equi-join key is ``xxhash64(shingle)`` instead of the shingle
+    string (narrower exchange, guide §2.3); a hash collision can only
+    ADD a spurious candidate, which exact verification removes — it
+    cannot lose a pair (equal strings always hash equal).
+    """
+    t_eps = float(threshold) - 1e-6
+    n_sh = F.col("n_sh")
+    alpha = F.ceil(n_sh * F.lit(t_eps))
     prefix_len = (n_sh - alpha + 1).cast("int")
     prefix = per_doc.select(
         "doc_id",
-        n_sh.alias("n_sh"),
-        F.explode(F.slice("toks", 1, prefix_len)).alias("t"),
-    ).select("doc_id", "n_sh", F.col("t.shingle").alias("shingle"))
+        "n_sh",
+        F.posexplode(F.slice("toks", 1, prefix_len)).alias("pos0", "shingle"),
+    ).select(
+        "doc_id",
+        "n_sh",
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64("shingle").alias("hkey"),
+    )
     a = prefix.alias("a")
     b = prefix.alias("b")
-    # PPJoin length filter (lossless): J(x,y) ≥ t forces
-    # t·|y| ≤ |x| ≤ |y|/t, so size-incompatible pairs can't qualify
-    # and are dropped inside the join (same epsilon as the prefix
-    # bound). On real corpora this prunes most candidates a hot prefix
-    # token would otherwise generate across very different doc sizes.
-    t_eps = F.lit(float(threshold) - 1e-6)
+    t_lit = F.lit(t_eps)
+    required = F.ceil(
+        (F.col("a.n_sh") + F.col("b.n_sh")) * F.lit(t_eps / (1.0 + t_eps))
+    )
+    pos_bound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+    )
     return (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.hkey") == F.col("b.hkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n_sh") >= t_eps * F.col("b.n_sh"))
-            & (F.col("b.n_sh") >= t_eps * F.col("a.n_sh")),
+            & (F.col("a.n_sh") >= t_lit * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= t_lit * F.col("a.n_sh"))
+            & (pos_bound >= required),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
+
+
+def jaccard_prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """The candidate stage of :func:`jaccard_prefix_pairs`, exposed so
+    its selectivity is testable/benchable on its own: (doc_a, doc_b)
+    pairs surviving the prefix + PPJoin length + positional filters, a
+    provably lossless superset of the ≥ threshold pairs. ``sh`` is the
+    (doc_id, shingle) frame from ``_shingles``."""
+    return _prefix_candidates(_df_ordered_docs(sh), threshold)
 
 
 def containment_prefix_pairs(
@@ -337,9 +436,14 @@ def containment_prefix_pairs(
     vocabularies (see the selectivity pytest).
     """
     sh = _shingles(documents, text_col, n)
-    cand = containment_prefix_candidates(sh, threshold)
+    per_doc = _df_ordered_docs(sh)
+    cand = _containment_candidates(per_doc, threshold)
     return (
-        _candidate_intersections(sh, cand)
+        _candidate_intersections_from_arrays(
+            per_doc.select("doc_id", F.col("toks").alias("__toks")),
+            cand,
+            assume_distinct=True,
+        )
         .withColumn(
             "overlap",
             round6(F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))),
@@ -349,33 +453,47 @@ def containment_prefix_pairs(
     )
 
 
-def containment_prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
-    """Candidate stage of :func:`containment_prefix_pairs`, exposed for
-    selectivity tests: (doc_a, doc_b) pairs (doc_a < doc_b) where the
-    size-smaller doc's prefix shares a shingle with the other doc's
-    full set — a provably lossless superset of the overlap ≥ threshold
-    pairs. ``sh`` is the (doc_id, shingle) frame from ``_shingles``."""
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    ranked = sh.join(freq, "shingle")
-    per_doc = ranked.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("toks")
-    )
-    n_sh = F.size("toks")
-    # same downward epsilon as jaccard_prefix_candidates: never
-    # over-ceil (would shorten the prefix = lose pairs), and absorb the
-    # round6 boundary of the output filter; erring low only lengthens
-    # the prefix
-    alpha = F.ceil(n_sh * (F.lit(float(threshold)) - F.lit(1e-6)))
+def _containment_candidates(per_doc: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs of :func:`containment_prefix_pairs`
+    over a :func:`_df_ordered_docs` table: the size-smaller doc's
+    df-ordered prefix against FULL shingle lists of same-or-larger docs.
+
+    Same downward epsilon as the Jaccard filters (never over-ceil —
+    would shorten the prefix = lose pairs; the round6 output boundary
+    is absorbed the same way). Round-6 additions mirroring
+    :func:`_prefix_candidates`: the equi-join runs on
+    ``xxhash64(shingle)`` (collisions only ADD candidates — exact
+    verification removes them), and a positional filter prunes join
+    rows whose best-case overlap ``1 + min(|x|−pa, |y|−pb)`` (positions
+    in the shared df-sorted order) cannot reach the required
+    ``⌈t·|x|⌉`` — lossless because for a qualifying pair the FIRST
+    common token has no shared predecessors, so its bound is valid and
+    ≥ the true overlap, and ``distinct`` needs any one surviving row.
+    """
+    t_eps = float(threshold) - 1e-6
+    n_sh = F.col("n_sh")
+    alpha = F.ceil(n_sh * F.lit(t_eps))
     prefix_len = (n_sh - alpha + 1).cast("int")
     prefix = per_doc.select(
         "doc_id",
-        n_sh.alias("n_sh"),
-        F.explode(F.slice("toks", 1, prefix_len)).alias("t"),
-    ).select("doc_id", "n_sh", F.col("t.shingle").alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh")
+        "n_sh",
+        F.posexplode(F.slice("toks", 1, prefix_len)).alias("pos0", "shingle"),
+    ).select(
+        "doc_id",
+        "n_sh",
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64("shingle").alias("hkey"),
     )
-    full = sh.join(sizes, "doc_id").select("doc_id", "n_sh", "shingle")
+    full = per_doc.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode("toks").alias("pos0", "shingle"),
+    ).select(
+        "doc_id",
+        "n_sh",
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64("shingle").alias("hkey"),
+    )
     a = prefix.alias("a")
     b = full.alias("b")
     # orient: a is the smaller side (ties broken so each unordered pair
@@ -384,12 +502,17 @@ def containment_prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         (F.col("a.n_sh") == F.col("b.n_sh"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
     )
+    required = F.ceil(F.col("a.n_sh") * F.lit(t_eps))
+    pos_bound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+    )
     return (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.hkey") == F.col("b.hkey"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
-            & smaller,
+            & smaller
+            & (pos_bound >= required),
         )
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
@@ -397,6 +520,15 @@ def containment_prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         )
         .distinct()
     )
+
+
+def containment_prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate stage of :func:`containment_prefix_pairs`, exposed for
+    selectivity tests: (doc_a, doc_b) pairs (doc_a < doc_b) where the
+    size-smaller doc's prefix shares a shingle with the other doc's
+    full set — a provably lossless superset of the overlap ≥ threshold
+    pairs. ``sh`` is the (doc_id, shingle) frame from ``_shingles``."""
+    return _containment_candidates(_df_ordered_docs(sh), threshold)
 
 
 def edit_distance_pairs(
@@ -969,18 +1101,22 @@ def chunk_dedup(
     """
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
-    toks = F.split(F.col(text_col), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # split once per row: a split captured inside the transform lambda
+    # would re-tokenize the document for every chunk (guide §1.2)
+    with_toks = documents.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("__tk")
+    )
+    n_chunks = F.ceil(F.size("__tk") / F.lit(chunk_tokens)).cast("int")
     chunk_hashes = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: hash60(
             F.array_join(
-                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                F.slice("__tk", i * chunk_tokens + 1, chunk_tokens), " "
             )
         ),
     )
     exploded = (
-        documents.select("doc_id", F.posexplode(chunk_hashes).alias("idx", "h"))
+        with_toks.select("doc_id", F.posexplode(chunk_hashes).alias("idx", "h"))
         .localCheckpoint(eager=True)
     )
     first = exploded.groupBy("h").agg(

@@ -72,11 +72,13 @@ def fact_fusion(claims_df: DataFrame) -> DataFrame:
     w_subj = Window.partitionBy("subj_id")
 
     # claims enters THREE aggregations (bootstrap vote, agreement
-    # flags, weighted re-vote) — without a persist Catalyst re-derives
-    # the whole upstream (at gate scale, the corpus→mentions pipeline)
-    # once per branch. MEMORY_AND_DISK spill is the production shape
-    # for a corpus-scale claims relation; recompute is 3 corpus scans.
-    claims_df = claims_df.persist()
+    # flags, weighted re-vote) — without materialization Catalyst
+    # re-derives the whole upstream (at gate scale, the
+    # corpus→mentions pipeline) once per branch. Eager localCheckpoint
+    # instead of persist(): persist registers in the CacheManager and
+    # pins the relation until session end (round-5 ADVICE leak),
+    # while checkpoint blocks are freed when the frame is GC'd.
+    claims_df = claims_df.localCheckpoint(eager=True)
 
     votes0 = claims_df.groupBy("subj_id", "obj_id").agg(
         F.count_distinct("source_id").cast("long").alias("__ns")

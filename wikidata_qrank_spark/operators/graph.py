@@ -764,10 +764,12 @@ def harmonic_centrality(
             .agg(F.min("hops").alias("hops"))
             .localCheckpoint(eager=True)
         )
+    # integer floor division per term, summed as longs — textually the
+    # oracle's sum(scale // hops): the old float-sum-cast-to-long was
+    # exact only while lcm(1..max_hops) stayed below 2^53 (round-5
+    # ADVICE finding)
     contrib = dist.filter(F.col("hops") > 0).groupBy("node").agg(
-        F.sum(F.lit(scale).cast("long") / F.col("hops")).cast("long").alias(
-            "harmonic_num"
-        )
+        F.sum(F.expr(f"{scale} div hops")).cast("long").alias("harmonic_num")
     )
     return nodes.join(contrib, "node", "left").select(
         "node",
@@ -1199,10 +1201,12 @@ def transe_step(
     for e_h is +2·diff and for e_t is −2·diff per incident edge
     (diff = e_h + r − e_t, an exact micro-int), summed per (node, dim)
     — order-free integer folds. The update divides by lr_denom
-    (lr = 1/lr_denom) with SIGN-CORRECTED floor division (DuckDB's
-    `//`), keeping every quantity an exact BIGINT end to end: no float
+    (lr = 1/lr_denom) with TRUNCATING integer division — the
+    semantics Spark's ``div`` and DuckDB's ``//`` natively share —
+    keeping every quantity an exact BIGINT end to end: no float
     enters the recurrence, so chained steps stay in lockstep across
-    engines.
+    engines (round-5 ADVICE: the old sign-corrected floor diverged
+    from ``//`` on negative non-divisible gradients).
 
     Scale shape: edges×dim diff rows (dim a small constant) from one
     node-keyed join against the (node×dim) embedding relation on each
@@ -1213,7 +1217,7 @@ def transe_step(
     supplies them) and loops steps — each step is this same
     one-shuffle shape with lineage truncation."""
     from ..functions.hashing import hash60
-    from ..functions.precision import floor_div
+    from ..functions.precision import trunc_div
 
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
@@ -1316,7 +1320,7 @@ def transe_step(
         "grad_micro",
         (
             F.col("emb0_micro")
-            - floor_div("grad_micro", lr_denom)
+            - trunc_div("grad_micro", lr_denom)
         ).cast("long").alias("emb1_micro"),
     )
 

@@ -56,18 +56,50 @@ def resolve_redirects(
     chains keep their remaining alias id (the reference's forgiving
     bounded interwiki loop behavior).
     """
-    rounds = max_iters if max_iters is not None else max_chain_length(redirects_df)
     edges = redirects_df.select(
         F.col("alias_id").alias("__alias"), F.col("target_id").alias("__target")
     )
-    out = df
-    for _ in range(rounds):
-        out = (
-            out.join(edges, out[id_col] == edges["__alias"], "left")
-            .withColumn(id_col, F.coalesce(F.col("__target"), F.col(id_col)))
-            .drop("__alias", "__target")
+    if max_iters is not None:
+        # bounded per-round semantics preserved exactly: longer chains
+        # keep their remaining alias id after max_iters substitutions
+        out = df
+        for _ in range(max_iters):
+            out = (
+                out.join(edges, out[id_col] == edges["__alias"], "left")
+                .withColumn(id_col, F.coalesce(F.col("__target"), F.col(id_col)))
+                .drop("__alias", "__target")
+            )
+        return out
+    # Default path, round 6 (VERDICT r5 item 2): pointer-double the
+    # redirect DIMENSION, then join the data side ONCE. Each doubling
+    # composes the alias→target map with itself (left join + coalesce =
+    # "step again if the target is itself an alias, else stay"), so k
+    # rounds over the tiny edge table encode exactly 2^k substitution
+    # steps — log₂ L dimension self-joins instead of L data-side joins
+    # in the prologue of every query (guide §2.4: remove shuffles
+    # outright). Equivalence with the old L-round loop: for acyclic
+    # chains any 2^k ≥ L reaches the same fixpoint; a cyclic table
+    # makes max_chain_length return its cap (16, a power of two), and
+    # 2^⌈log₂ 16⌉ = 16 applies the identical step count.
+    import math
+
+    rounds = max_chain_length(redirects_df)
+    k = math.ceil(math.log2(rounds)) if rounds > 1 else 0
+    closure = edges
+    for _ in range(k):
+        x = closure.alias("x")
+        y = closure.alias("y")
+        closure = x.join(
+            y, F.col("x.__target") == F.col("y.__alias"), "left"
+        ).select(
+            F.col("x.__alias").alias("__alias"),
+            F.coalesce(F.col("y.__target"), F.col("x.__target")).alias("__target"),
         )
-    return out
+    return (
+        df.join(closure, df[id_col] == closure["__alias"], "left")
+        .withColumn(id_col, F.coalesce(F.col("__target"), F.col(id_col)))
+        .drop("__alias", "__target")
+    )
 
 
 def canonical_dictionary(dict_df: DataFrame, redirects_df: DataFrame) -> DataFrame:

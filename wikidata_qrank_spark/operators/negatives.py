@@ -55,19 +55,22 @@ def negative_samples(
     if pool not in ("both", "dst"):
         raise ValueError(f"pool must be 'both' or 'dst', got {pool!r}")
     # e feeds three branches (node pool, corruption draw, anti-join)
-    # and indexed feeds two (count, idx→node map); persist both or the
-    # upstream pipeline re-executes once per branch — the same
-    # diamond-reuse rule as plans/pipeline.py's dictionary persist.
+    # and indexed feeds two (count, idx→node map); materialize both or
+    # the upstream pipeline re-executes once per branch. Eager
+    # localCheckpoint, not persist(): persisted relations stay pinned
+    # in the CacheManager until session end (round-5 ADVICE leak).
     e = (
         edges.select(F.col(src).alias("src_id"), F.col(dst).alias("dst_id"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     nodes = e.select(F.col("dst_id").alias("node"))
     if pool == "both":
         nodes = nodes.unionByName(e.select(F.col("src_id").alias("node")))
     nodes = nodes.distinct()
-    indexed = global_row_number(nodes, [F.col("node").asc()], rank_col="idx").persist()
+    indexed = global_row_number(
+        nodes, [F.col("node").asc()], rank_col="idx"
+    ).localCheckpoint(eager=True)
     nn = indexed.agg(F.max("idx").alias("__n"))
     drawn = (
         e.withColumn("i", F.explode(F.array(*[F.lit(j) for j in range(k)])))

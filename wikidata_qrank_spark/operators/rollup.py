@@ -118,11 +118,12 @@ def gap_fill(
     KB-scale bounds table, NEVER a generate-then-join over raw events —
     and one window per type for the carry-forward. The dense-bucket
     row count is (time span / bucket), independent of event volume."""
-    # sign-corrected long floor division (matches DuckDB's `//`), so
-    # pre-1970 timestamps land in the same bucket in both engines
-    from ..functions.precision import floor_div
+    # truncating long division — the semantics DuckDB's `//` actually
+    # has — so pre-1970 timestamps land in the same bucket in both
+    # engines (round-5 ADVICE: the old sign-corrected floor diverged)
+    from ..functions.precision import trunc_div
 
-    b = floor_div(
+    b = trunc_div(
         f"unix_micros(CAST({ts_col} AS TIMESTAMP))",
         bucket_hours * 3_600_000_000,
     )

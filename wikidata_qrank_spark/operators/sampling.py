@@ -94,11 +94,25 @@ def mixture_resample(
         [(k, v) for k, v in targets_ppm.items()],
         f"{stratum_col} string, __t_ppm long",
     )
+    # eager truncation: the #strata-row aggregate feeds the bottleneck
+    # min, the rates dim AND the absent-stratum guard below — one
+    # corpus aggregation instead of per-consumer recomputes
     grp = (
         df.join(F.broadcast(tgt), stratum_col)
         .groupBy(stratum_col, "__t_ppm")
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint(eager=True)
     )
+    # round-5 ADVICE: a target stratum absent from df would silently
+    # vanish from the bottleneck min — the true achievable mixture is
+    # size 0, so refuse instead of returning a mixture off target
+    observed = {r[0] for r in grp.select(stratum_col).collect()}
+    missing = sorted(set(targets_ppm) - observed)
+    if missing:
+        raise ValueError(
+            f"targets_ppm strata absent from df: {missing} — the "
+            "requested mixture is unsatisfiable (bottleneck size 0)"
+        )
     smax = grp.agg(
         F.min(F.expr("(__n * 1000000) div __t_ppm")).cast("long").alias("__s")
     )

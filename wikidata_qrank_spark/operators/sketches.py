@@ -270,8 +270,17 @@ def count_min(
     if width < 2:
         raise ValueError(f"width must be >= 2, got {width}")
     groups = list(group_cols)
-    # ONE corpus scan: the depth coordinates explode map-side (cheap
-    # row multiplication inside the task), not as `depth` re-reads.
+    # Round 6 (guide §2.3 "aggregate before you shuffle"): count per
+    # KEY first — a partial-aggregated keyed shuffle bounded by
+    # per-task distinct keys — then hash only DISTINCT keys into their
+    # depth coordinates and sum the counts. The md5 family runs
+    # depth × |vocab| times instead of depth × |occurrences|; the
+    # counter values are identical (Σ_{keys→bucket} count(key)), and
+    # the final (d, bucket) aggregation still caps the sketch shuffle
+    # at groups × depth × width rows.
+    per_key = df.groupBy(*groups, key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
     coords = F.array(
         *[
             F.struct(
@@ -289,10 +298,10 @@ def count_min(
         ]
     )
     return (
-        df.select(*groups, F.explode(coords).alias("p"))
-        .select(*groups, "p.d", "p.bucket")
+        per_key.select(*groups, F.explode(coords).alias("p"), "__c")
+        .select(*groups, "p.d", "p.bucket", "__c")
         .groupBy(*groups, "d", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("__c").cast("long").alias("cnt"))
     )
 
 

@@ -70,10 +70,11 @@ def duplicated_spans(
         .filter(F.col("__last").isNotNull())
         .select("doc_id", "offset", "__h")
         # grams feeds both the dup-hash aggregation and the position
-        # semi-join; persist the (doc_id, offset, 16-byte-hash)
+        # semi-join; materialize the (doc_id, offset, 16-byte-hash)
         # relation (the compact one — text never re-enters) instead of
-        # re-tokenizing the corpus per branch
-        .persist()
+        # re-tokenizing the corpus per branch. localCheckpoint, not
+        # persist: no CacheManager pin across calls (round-5 ADVICE)
+        .localCheckpoint(eager=True)
     )
     dup = (
         grams.groupBy("__h")

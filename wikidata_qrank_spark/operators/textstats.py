@@ -37,27 +37,55 @@ def _tokens(text_col: str):
     return F.split(F.col(text_col), " ")
 
 
-def _marker_hits(text_col: str, markers: list[str]):
-    toks = _tokens(text_col)
+def _marker_hits(toks, markers: list[str]):
+    # occurrence count as size(toks) − size(array_remove(toks, m)):
+    # array_remove is a codegen'd collection expression, while the old
+    # F.filter higher-order function evaluates INTERPRETED per element
+    # — same value, an order of magnitude cheaper per row (guide §1.2)
     hits = F.lit(0)
     for m in markers:
-        hits = hits + F.size(F.filter(toks, lambda t: t == F.lit(m)))
+        hits = hits + (F.size(toks) - F.size(F.array_remove(toks, m)))
     return hits
 
 
 def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, predicted_lang, lang_score): argmax marker-hit rate;
-    ties break alphabetically; no hits → 'und'."""
-    toks = _tokens(text_col)
+    ties break alphabetically; no hits → 'und'.
+
+    Round-6 shape: explode tokens once and take all marker counts in
+    ONE doc-keyed aggregation of codegen'd conditional sums, instead
+    of 25 interpreted array passes per document per evaluation (13.6 s
+    → ~1 s at the 50k-doc bench scale, guide §1.2). The aggregation is
+    also a pushdown BARRIER: a downstream filter on predicted_lang
+    (curate_corpus drops 'und') lands on the aggregated integer row,
+    where the map-only form had the whole marker expression re-inlined
+    below the pushed filter and evaluated twice per row. The shuffle
+    is one docs×1 partial-aggregated exchange — the doc-keyed shape
+    every signal operator here uses. Values are bit-identical: counts
+    are exact integers (explode of split(text) yields exactly
+    size(split) rows, empty tokens included, so the score division
+    sees the same operands), and the argmax/tiebreak runs the same
+    sort_array trick on the 5-struct array."""
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("__t")
+    )
+    langs = sorted(LANG_MARKERS.items())
+    aggs = [F.count(F.lit(1)).alias("__nt")] + [
+        F.sum(
+            F.when(F.col("__t").isin(*ms), F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"__h_{lang}")
+        for lang, ms in langs
+    ]
+    counted = tok.groupBy("doc_id").agg(*aggs)
     scores = F.array(
         *[
             F.struct(
-                (_marker_hits(text_col, ms) / F.greatest(F.size(toks), F.lit(1)))
+                (F.col(f"__h_{lang}") / F.greatest(F.col("__nt"), F.lit(1)))
                 .cast("double")
                 .alias("score"),
                 F.lit(lang).alias("lang"),
             )
-            for lang, ms in sorted(LANG_MARKERS.items())
+            for lang, _ in langs
         ]
     )
     # array_max on struct: max by (score, lang) — ties pick the LAST
@@ -73,12 +101,13 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )[0]
-    return documents.select(
+    picked = counted.select("doc_id", best.alias("__best"))
+    return picked.select(
         "doc_id",
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
-            "predicted_lang"
-        ),
-        round6(best["score"]).alias("lang_score"),
+        F.when(F.col("__best.score") > 0, F.col("__best.lang"))
+        .otherwise(F.lit("und"))
+        .alias("predicted_lang"),
+        round6(F.col("__best.score")).alias("lang_score"),
     )
 
 
@@ -117,13 +146,26 @@ def curate_corpus(
 def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_chars_measured, stopword_ratio,
     mean_token_len, quality): a composite [0,1] quality signal."""
-    toks = _tokens(text_col)
-    n_tokens = F.size(toks).cast("long")
-    n_chars = F.length(F.col(text_col)).cast("long")
-    stop_hits = F.lit(0)
-    for s in STOPWORDS:
-        stop_hits = stop_hits + F.size(F.filter(toks, lambda t: t == F.lit(s)))
-    stopword_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    # split once per row (see language_id): the stopword counters would
+    # otherwise re-tokenize the document once per stopword; layering
+    # (tokenize → integer counts → derived ratios) keeps each
+    # non-cheap expression single-evaluation even when downstream
+    # filters (curate_corpus' quality >= threshold) are pushed down
+    tokenized = documents.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("__nc"),
+        F.split(F.col(text_col), " ").alias("__tk"),
+    )
+    toks = F.col("__tk")
+    counted = tokenized.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("__nt"),
+        F.col("__nc"),
+        _marker_hits(toks, STOPWORDS).cast("long").alias("__stop_hits"),
+    )
+    n_tokens = F.col("__nt")
+    n_chars = F.col("__nc")
+    stopword_ratio = F.col("__stop_hits") / F.greatest(n_tokens, F.lit(1))
     mean_tok = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
     # quality: long enough, not stopword-soup, plausible word lengths
     quality = round6(
@@ -131,7 +173,7 @@ def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
         + (1.0 - F.least(stopword_ratio * 2, F.lit(1.0))) * 0.25
         + F.when((mean_tok >= 3) & (mean_tok <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
     )
-    return documents.select(
+    return counted.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_measured"),
@@ -144,12 +186,14 @@ def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
 def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, subword_est): whitespace token count and a
     BPE-ish estimate — Σ ceil(len(token)/4) (≈4 chars/BPE token)."""
-    toks = _tokens(text_col)
-    return documents.select(
+    tokenized = documents.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("__tk")
+    )
+    return tokenized.select(
         "doc_id",
-        F.size(toks).cast("long").alias("ws_tokens"),
+        F.size("__tk").cast("long").alias("ws_tokens"),
         F.aggregate(
-            toks,
+            F.col("__tk"),
             F.lit(0).cast("long"),
             lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
         ).alias("subword_est"),
@@ -217,14 +261,19 @@ def winnowed_fingerprints(
         F.lit(1), F.greatest(F.length(text) - k + 1, F.lit(1))
     )
     grams = F.transform(gram_starts, lambda i: _poly_hash(text.substr(i, F.lit(k))))
+    # materialize the k-gram hash array once per row: captured inside
+    # the window lambda it would be re-hashed for EVERY window start —
+    # O(len²) rolling hashes per document (guide §1.2)
+    hashed = documents.filter(F.length(text) > 0).select(
+        "doc_id", grams.alias("__grams")
+    )
     win_starts = F.sequence(
-        F.lit(1), F.greatest(F.size(grams) - window + 1, F.lit(1))
+        F.lit(1), F.greatest(F.size("__grams") - window + 1, F.lit(1))
     )
-    fps = F.transform(win_starts, lambda j: F.array_min(F.slice(grams, j, window)))
-    return (
-        documents.filter(F.length(text) > 0)
-        .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+    fps = F.transform(
+        win_starts, lambda j: F.array_min(F.slice("__grams", j, window))
     )
+    return hashed.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
 
 
 # PII scrubbing: sequential count-then-replace. Patterns restricted to
@@ -338,7 +387,12 @@ def lm_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
     absent from the output."""
     from ..functions.precision import round6
 
-    toks = F.split(F.col(text_col), " ")
+    # split once per row (guide §1.2): element_at(toks, ·) inside the
+    # transform lambda would re-tokenize the document per bigram
+    tokenized = documents.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("__tk")
+    )
+    toks = F.col("__tk")
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -349,10 +403,10 @@ def lm_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bigrams = documents.select("doc_id", F.explode(pairs).alias("bg")).select(
+    bigrams = tokenized.select("doc_id", F.explode(pairs).alias("bg")).select(
         "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
-    unigrams = documents.select(F.explode(toks).alias("w1"))
+    unigrams = tokenized.select(F.explode(toks).alias("w1"))
     c1 = unigrams.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
     vocab_size = unigrams.agg(
         F.countDistinct("w1").cast("long").alias("__v")
@@ -439,8 +493,14 @@ def repetition_scores(
     Entirely map-side array expressions (no explode, no shuffle): at
     100 TB this is a projection fused into whatever scan already reads
     the text."""
-    toks = _tokens(text_col)
-    grams = F.when(
+    # split once per row (guide §1.2): element_at(toks, ·) inside the
+    # transform lambda would re-tokenize the document per n-gram, and
+    # the gram array feeds both size() and array_distinct()
+    tokenized = documents.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("__tk")
+    )
+    toks = F.col("__tk")
+    gram_arr = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -449,9 +509,11 @@ def repetition_scores(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    grammed = tokenized.select("doc_id", gram_arr.alias("__grams"))
+    grams = F.col("__grams")
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
-    return documents.select(
+    return grammed.select(
         "doc_id",
         total.cast("long").alias("n_grams"),
         distinct.cast("long").alias("n_distinct"),
@@ -754,7 +816,10 @@ def word_dropout(
         raise ValueError(
             f"rate_permille must be in [0, 1000], got {rate_permille}"
         )
-    toks = F.split(F.col(text_col), " ")
+    tokenized = documents.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("__tk")
+    )
+    toks = F.col("__tk")
     idx = F.transform(
         toks,
         lambda t, i: F.struct(t.alias("t"), i.alias("i")),
@@ -782,7 +847,7 @@ def word_dropout(
             >= F.lit(rate_permille)
         ),
     )
-    return documents.select(
+    return tokenized.select(
         "doc_id",
         F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_aug"),
         F.size(toks).cast("long").alias("n_tokens"),

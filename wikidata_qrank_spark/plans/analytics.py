@@ -563,13 +563,13 @@ def event_anomalies(
     streaming stddev, so both engines derive bit-identical doubles:
     var = (Σc² − (Σc)²/n) / (n−1). One aggregation shuffle + one
     broadcast-joined 3-value dim per type."""
-    from wikidata_qrank_spark.functions.precision import floor_div, round6
+    from wikidata_qrank_spark.functions.precision import round6, trunc_div
 
     ev = load_table(spark, sf_dir, "events")
     agg = (
         ev.select(
             "event_type",
-            floor_div(
+            trunc_div(
                 "unix_micros(CAST(ts AS TIMESTAMP))", 3_600_000_000
             ).alias("bucket_h"),
         )

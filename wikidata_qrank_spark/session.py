@@ -35,6 +35,22 @@ def get_session(
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        # Scan parallelism floor (guide §6): Spark's split formula caps
+        # splits at max(openCostInBytes, totalBytes/minPartitionNum) —
+        # with the 4 MB default openCost a few-MB parquet table scans
+        # as 1-2 tasks and every interpreted higher-order expression on
+        # it runs on 1-2 cores. A 64 KB open cost + a 2×cores partition
+        # floor let small inputs fan out to the full width, while at
+        # production scale totalBytes/minPartitionNum exceeds
+        # maxPartitionBytes and the defaults (128 MB splits) take over
+        # unchanged — i.e. scale-adaptive, not a local[32]-only tune.
+        .config("spark.sql.files.openCostInBytes", "65536")
+        .config("spark.sql.files.minPartitionNum", str(2 * n))
+        # Broadcast ceiling (guide §3.1): 64 MB is well inside what any
+        # real executor holds; lets AQE convert mid-size dimension
+        # joins (per-doc shingle arrays, vocab dims) to broadcast from
+        # their ACTUAL post-shuffle size instead of sort-merging them.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
