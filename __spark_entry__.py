@@ -995,60 +995,14 @@ def _ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Keys listed here are emitted first, in this order; anything not
 # listed follows in registration order.
 _GATE_FIRST = (
-    # VERDICT r4 item 1: these five keys have never received a
-    # driver CORRECTNESS row (registered past the r4 window;
-    # judge-verified out-of-band) — they outrank even newer keys
-    "an_q6_forecast",
-    "an_q14_promo",
-    "kg_reciprocity",
-    "ev_histogram",
-    "td_best_of_cluster",
-    # new in round 5 (never verified by any driver round)
-    "kg_fact_fusion",
-    "kg_negative_samples",
-    "td_span_dedup",
-    "td_mixture_resample",
-    "kg_clustering_coeff",
-    "kg_neighborhood",
-    "kg_eff_diameter",
-    "kg_assortativity",
-    "kg_link_prediction",
-    "kg_random_walks",
-    "kg_entity_match",
-    "kg_entity_embeddings",
-    "td_semdedup",
-    "td_skipgrams",
-    "kg_transe_step",
-    "kg_degrees_incremental",
-    "kg_truss",
-    "td_kneser_ney",
-    "td_vocab_coverage",
-    "kg_degree_histogram",
-    "kg_er_metrics",
-    "ev_hll_rollup",
-    "kg_bgp_cycles",
-    "kg_ntriples",
-    "kg_bgp_optional",
-    "kg_triple_provenance",
-    "kg_windowed_cooc",
-    "td_lsh_quality",
-    "kg_weighted_pagerank",
-    "td_word_dropout",
-    "td_seq_packing",
-    "kg_neighbor_sample",
-    "kg_lp_metrics",
-    "td_ann_recall",
-    "mm_ahash_near_groups",
-    "kg_rank_drift",
-    "kg_ppr",
-    "kg_label_prop",
-    "kg_harmonic",
-    "td_bm25_top_terms",
-    "kg_two_hop_approx",
-    "td_containment_scaled",
-    "td_incremental_dedup",
-    "an_q7_volume",
-    "an_q8_share",
+    # round 6 window (VERDICT r5 item 3 — drain the verification
+    # debt): first the 19 keys that have NEVER received a driver
+    # CORRECTNESS row (registered past the full r5 window;
+    # judge-verified out-of-band with scripts/check_oracle.py in r5),
+    # then the cohort whose last driver row is round 3 (the 50-row
+    # window takes the first 31 of them; the listed tail orders the
+    # spill-over for the next rotation). No new gate keys this round
+    # (VERDICT item 4: freeze the gate, harden the core).
     "an_q9_profit",
     "an_q10_returns",
     "an_q12_shiplag",
@@ -1068,8 +1022,7 @@ _GATE_FIRST = (
     "an_q11_important_parts",
     "an_q16_supplier_counts",
     "an_q2_best_supplier",
-    # last driver-verified in round 3 (displaced by the r4 window),
-    # registration order
+    # last driver-verified in round 3, registration order
     "kg_media_mentions",
     "kg_qviews",
     "kg_qrank",

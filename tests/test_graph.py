@@ -800,3 +800,40 @@ def test_link_prediction_metrics_hand_golden(spark):
     assert row.hits1_permille == 500
     assert row.hits3_permille == 1000
     assert row.hits10_permille == 1000
+
+
+def test_trunc_div_matches_duckdb_integer_division(spark):
+    """Round-6 ADVICE fix: the shared integer-division helper must
+    TRUNCATE toward zero like DuckDB's `//` (verified -7 // 2 = -3 on
+    DuckDB 1.0.0), not floor — negative non-divisible values are where
+    the old sign-corrected floor silently diverged from the oracles."""
+    from pyspark.sql import functions as F
+
+    from wikidata_qrank_spark.functions.precision import trunc_div
+
+    df = spark.createDataFrame(
+        [(-7,), (-6,), (-1,), (0,), (1,), (7,)], "v long"
+    )
+    got = {
+        r["v"]: r["q"]
+        for r in df.select("v", trunc_div("v", 2).alias("q")).collect()
+    }
+    # python's int(v / 2) truncates toward zero, matching DuckDB //
+    assert got == {v: int(v / 2) for v in (-7, -6, -1, 0, 1, 7)}
+
+
+def test_triangles_checkpoint_preserves_counts(spark):
+    """Round-6: triangles() eagerly truncates the undirected edge list;
+    the per-node counts on a graph with parallel/reverse edges and
+    self-loops must be unchanged by the materialization."""
+    from wikidata_qrank_spark.operators.graph import triangles
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (3, 3), (3, 4), (4, 1), (1, 4)],
+        "src_id long, dst_id long",
+    )
+    got = {
+        r["node"]: r["n_triangles"] for r in triangles(edges).collect()
+    }
+    # triangles: {1,2,3} and {1,3,4}
+    assert got == {1: 2, 2: 1, 3: 2, 4: 1}

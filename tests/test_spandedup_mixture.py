@@ -136,3 +136,21 @@ def test_mixture_resample_rejects_bad_targets(spark):
         mixture_resample(d, "lang", "doc_id", {})
     with pytest.raises(ValueError):
         mixture_resample(d, "lang", "doc_id", {"en": 0})
+
+
+def test_mixture_resample_rejects_absent_stratum(spark):
+    """Round-6 ADVICE fix: a stratum named in targets_ppm but absent
+    from the input makes the requested mixture unsatisfiable (its
+    achievable size is 0) — refuse instead of silently dropping it
+    from the bottleneck min."""
+    import pytest
+
+    from wikidata_qrank_spark.operators.sampling import mixture_resample
+
+    d = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de")], "doc_id long, lang string"
+    )
+    with pytest.raises(ValueError, match="absent"):
+        mixture_resample(
+            d, "lang", "doc_id", {"en": 500_000, "zh": 500_000}
+        ).collect()

@@ -282,12 +282,11 @@ def jaccard_prefix_pairs(
     This is the exact-join counterpart of the minhash LSH path (which
     stays the right choice when a sketch-level recall bound suffices).
     """
-    sh = _shingles(documents, text_col, n)
-    per_doc = _df_ordered_docs(sh)
+    per_doc = _df_ordered_docs_checkpointed(documents, text_col, n)
     cand = _prefix_candidates(per_doc, threshold)
     return (
         _candidate_intersections_from_arrays(
-            per_doc.select("doc_id", F.col("toks").alias("__toks")),
+            _rekeyed_arrays(per_doc),
             cand,
             assume_distinct=True,
         )
@@ -300,24 +299,64 @@ def jaccard_prefix_pairs(
     )
 
 
+def _df_ordered_docs_checkpointed(
+    documents: DataFrame, text_col: str, n: int
+) -> DataFrame:
+    """Eagerly materialized :func:`_df_ordered_docs` (docs×1 narrow
+    array rows). The prefix-join pipelines reference the per-doc table
+    FOUR times (both self-join sides + both verification sides); lazy,
+    each reference re-scans the corpus, re-shingles and re-aggregates
+    — measured 4× the table's build cost at the 50k-doc bench scale.
+    The shingle stream is checkpointed first so the frequency count
+    and the per-doc aggregation share one tokenization pass. Both
+    relations are (doc, shingle)-scale — far below text size — the
+    same eager-truncation rule the CC/graph loops follow."""
+    sh = _shingles(documents, text_col, n).localCheckpoint(eager=True)
+    return _df_ordered_docs(sh).localCheckpoint(eager=True)
+
+
+def _rekeyed_arrays(per_doc: DataFrame) -> DataFrame:
+    """(doc_id, __toks) verification side from a checkpointed per-doc
+    table, re-keyed through one doc_id hash exchange. The exchange is
+    what lets AQE see the relation's ACTUAL size at runtime and turn
+    the candidate⋈arrays joins into broadcasts when it fits (a docs×1
+    array dim at bench scale) — a checkpointed RDD leaf has no size
+    statistics, so without it the planner falls back to sort-merge and
+    ships a full array per candidate row through two shuffles. At
+    production scale the same plan degrades gracefully: AQE sees an
+    over-threshold exchange and keeps the shuffle join — no hint, no
+    hard-coded strategy (guide §3.1)."""
+    return per_doc.select("doc_id", F.col("toks").alias("__toks")).repartition(
+        "doc_id"
+    )
+
+
 def _df_ordered_docs(sh: DataFrame) -> DataFrame:
     """(doc_id, n_sh, toks) — each doc's distinct shingles as ONE array,
-    ascending (document-frequency, shingle) order: the total token
-    order the SSJoin/PPJoin prefix lemma requires, built once and
-    shared by candidate generation (prefix = array slice) and
-    verification (exact ``array_intersect``). The identical aggregation
-    subtree appears under every consumer, so Spark's ReuseExchange
-    materializes the shuffle once per query."""
+    DICTIONARY-ENCODED: every shingle is replaced by its dense global
+    rank ``gid`` under the ascending (document-frequency, shingle)
+    total order (rank.global_row_number — two-phase, no
+    single-partition sort), and ``toks`` is the doc's gid set sorted
+    ascending, which IS the df order the SSJoin/PPJoin prefix lemma
+    requires. The encoding is a BIJECTION (rank over distinct
+    shingles), so gid-set intersections have exactly the shingle-set
+    intersection size — verification stays provably exact — while the
+    arrays shrink ~2.5× and ``array_intersect`` runs its specialized
+    primitive-type hash set instead of per-element string hashing
+    (measured 80 µs → a few µs per candidate pair at the 50k-doc
+    bench scale: the single hottest kernel of the prefix join,
+    round 6)."""
+    from .rank import global_row_number
+
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    ranked = sh.join(freq, "shingle")
+    gids = global_row_number(
+        freq, [F.col("df").asc(), F.col("shingle").asc()], rank_col="gid"
+    )
+    ranked = sh.join(gids.select("shingle", "gid"), "shingle")
     per_doc = ranked.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ts")
+        F.sort_array(F.collect_list("gid")).alias("toks")
     )
-    return per_doc.select(
-        "doc_id",
-        F.size("ts").alias("n_sh"),
-        F.transform("ts", lambda x: x["shingle"]).alias("toks"),
-    )
+    return per_doc.select("doc_id", F.size("toks").alias("n_sh"), "toks")
 
 
 def _prefix_candidates(per_doc: DataFrame, threshold: float) -> DataFrame:
@@ -361,12 +400,12 @@ def _prefix_candidates(per_doc: DataFrame, threshold: float) -> DataFrame:
     prefix = per_doc.select(
         "doc_id",
         "n_sh",
-        F.posexplode(F.slice("toks", 1, prefix_len)).alias("pos0", "shingle"),
+        F.posexplode(F.slice("toks", 1, prefix_len)).alias("pos0", "hkey"),
     ).select(
         "doc_id",
         "n_sh",
         (F.col("pos0") + 1).alias("pos"),
-        F.xxhash64("shingle").alias("hkey"),
+        "hkey",
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -435,12 +474,11 @@ def containment_prefix_pairs(
     at all); the df ordering is what keeps it near-linear on Zipf
     vocabularies (see the selectivity pytest).
     """
-    sh = _shingles(documents, text_col, n)
-    per_doc = _df_ordered_docs(sh)
+    per_doc = _df_ordered_docs_checkpointed(documents, text_col, n)
     cand = _containment_candidates(per_doc, threshold)
     return (
         _candidate_intersections_from_arrays(
-            per_doc.select("doc_id", F.col("toks").alias("__toks")),
+            _rekeyed_arrays(per_doc),
             cand,
             assume_distinct=True,
         )
@@ -477,23 +515,13 @@ def _containment_candidates(per_doc: DataFrame, threshold: float) -> DataFrame:
     prefix = per_doc.select(
         "doc_id",
         "n_sh",
-        F.posexplode(F.slice("toks", 1, prefix_len)).alias("pos0", "shingle"),
-    ).select(
-        "doc_id",
-        "n_sh",
-        (F.col("pos0") + 1).alias("pos"),
-        F.xxhash64("shingle").alias("hkey"),
-    )
+        F.posexplode(F.slice("toks", 1, prefix_len)).alias("pos0", "hkey"),
+    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "hkey")
     full = per_doc.select(
         "doc_id",
         "n_sh",
-        F.posexplode("toks").alias("pos0", "shingle"),
-    ).select(
-        "doc_id",
-        "n_sh",
-        (F.col("pos0") + 1).alias("pos"),
-        F.xxhash64("shingle").alias("hkey"),
-    )
+        F.posexplode("toks").alias("pos0", "hkey"),
+    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "hkey")
     a = prefix.alias("a")
     b = full.alias("b")
     # orient: a is the smaller side (ties broken so each unordered pair
@@ -678,7 +706,17 @@ def minhash_signatures(
     partial (map-side) aggregation reduces each task to one row per doc
     before the exchange, so the shuffle moves docs×1 rows — not the
     docs×num_hashes rows of the posexplode formulation (which made
-    minhash the slowest bench query in round 1)."""
+    minhash the slowest bench query in round 1).
+
+    Round-6 note (negative result, kept for the record): hashing only
+    DISTINCT shingles via a vocab dim join — the count_min
+    pre-aggregation trick — was tried and MEASURED SLOWER (q7 6.5→13 s,
+    md5 corpus-prep 48→58 s at sf1.0): the shingle-keyed join scatters
+    doc-locality, so the doc-keyed partial aggregation degrades from
+    ~docs rows to ~tasks×docs rows of 32-column partials. Per-occurrence
+    hashing in the doc-clustered scan pipeline is the right shape; the
+    md5 family's remaining cost is inherent to its oracle-portable
+    definition."""
     sh = _shingles(documents, text_col, shingle_n)
     aggs = [
         F.min(_seed_hash(i, hash_family)).alias(f"__mh{i}") for i in range(num_hashes)

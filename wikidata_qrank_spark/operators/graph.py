@@ -73,9 +73,18 @@ def triangles(
     e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
         F.col(src) != F.col(dst)
     )
-    und = e.select(
-        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-    ).distinct()
+    # eager truncation: the undirected edge list feeds SIX subtrees
+    # (degree union legs, the degree joins, both wedge sides, the
+    # closing join); lazy, each one re-derives the whole upstream —
+    # for the KG graph that is the corpus->mention pipeline, measured
+    # ~6x the edge-build cost per triangle count (round 6, guide §2.4).
+    # The materialized relation is |E| rows — the algorithm's own
+    # working set.
+    und = (
+        e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
